@@ -1,0 +1,139 @@
+"""Diffuser facade binding denoiser + formalization + optional VAE + extra losses.
+
+JAX redesign of reference src/diffulab/diffuse/diffuser.py:14-239. The facade is
+a thin Python-level orchestrator: the heavy paths (`compute_loss`, `generate`)
+are pure functions of (params, batch, rng) that the trainer jits; `generate`
+fuses the whole reverse scan — and the VAE decode in latent mode — under one
+jit per (steps, shape, guidance) configuration.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from diffulab_tpu.diffuse.flow import Flow
+from diffulab_tpu.diffuse.gaussian_diffusion import GaussianDiffusion
+
+
+class Diffuser:
+    """Unified interface over the diffusion formalizations.
+
+    Args mirror the reference (diffuser.py:55-82): ``model_type`` selects the
+    formalization ("rectified_flow" -> Flow, "gaussian_diffusion" ->
+    GaussianDiffusion); ``vision_tower`` switches on latent diffusion with
+    scale/bias handling; ``extra_losses`` are auxiliary named losses (e.g. REPA).
+    """
+
+    model_registry: dict[str, type] = {
+        "rectified_flow": Flow,
+        "gaussian_diffusion": GaussianDiffusion,
+    }
+
+    def __init__(
+        self,
+        denoiser: Any,
+        sampling_method: str,
+        model_type: str = "rectified_flow",
+        n_steps: int = 1000,
+        vision_tower: Any | None = None,
+        extra_args: dict[str, Any] | None = None,
+        extra_losses: list[Any] | None = None,
+    ):
+        if model_type not in self.model_registry:
+            raise NotImplementedError(f"Model type {model_type} is not implemented")
+        self.model_type = model_type
+        self.denoiser = denoiser
+        self.n_steps = n_steps
+        self.vision_tower = vision_tower
+        self.extra_losses = list(extra_losses or [])
+        if self.vision_tower is not None:
+            self.latent_scale = self.vision_tower.latent_scale
+            self.latent_bias = self.vision_tower.latent_bias
+        self.diffusion = self.model_registry[model_type](
+            n_steps=n_steps,
+            sampling_method=sampling_method,
+            latent_diffusion=vision_tower is not None,
+            **(extra_args or {}),
+        )
+        self._generate_cache: dict[Any, Callable[..., Any]] = {}
+
+    # --- model adapter -----------------------------------------------------
+    def model_fn(self, train: bool = False, rngs: Any | None = None):
+        """The (x, timesteps, cond, drop) callable the formalizations consume.
+
+        At trace time inside a jitted step this closes over the live NNX
+        module; the trainer is responsible for split/merge at jit boundaries.
+        """
+        def fn(x, timesteps, cond, drop):
+            return self.denoiser(
+                x=x, timesteps=timesteps, cond=cond, drop=drop, train=train, rngs=rngs
+            )
+        return fn
+
+    def draw_timesteps(self, rng: jax.Array, batch_size: int) -> jax.Array:
+        return self.diffusion.draw_timesteps(rng, batch_size)
+
+    def set_steps(self, n_steps: int, **kwargs: Any) -> None:
+        """Swap the sampling schedule (reference diffuser.py:142-160). Purely a
+        Python-level config change: the next `generate` call compiles (or reuses
+        a cached) sampling fn for the new static grid."""
+        self.diffusion = self.diffusion.set_steps(n_steps, **kwargs)
+        self._generate_cache.clear()
+
+    # --- training loss -------------------------------------------------------
+    def compute_loss(
+        self,
+        x0: jax.Array | None,
+        cond: dict[str, Any],
+        timesteps: jax.Array | None = None,
+        noise: jax.Array | None = None,
+        rng: jax.Array | None = None,
+        drop: jax.Array | None = None,
+        extra_args: dict[str, Any] | None = None,
+        train: bool = True,
+        rngs: Any | None = None,
+        grpo: bool = False,
+        grpo_args: dict[str, Any] | None = None,
+    ) -> dict[str, jax.Array]:
+        model_fn = self.model_fn(train=train, rngs=rngs)
+        if grpo:
+            assert isinstance(self.diffusion, Flow), "GRPO loss is only available for Flow-based models"
+            return self.diffusion.compute_loss_grpo(model_fn, cond, **(grpo_args or {}))
+        assert timesteps is not None, "timesteps must be provided for loss computation"
+        assert x0 is not None
+        if noise is None:
+            assert rng is not None, "either noise or rng must be provided"
+            noise = jax.random.normal(rng, x0.shape, dtype=x0.dtype)
+        return self.diffusion.compute_loss(
+            model_fn, x0, cond, timesteps, noise,
+            drop=drop, extra_losses=self.extra_losses, extra_args=extra_args,
+        )
+
+    # --- sampling ---------------------------------------------------------------
+    def generate(
+        self,
+        rng: jax.Array,
+        cond: dict[str, Any],
+        data_shape: tuple[int, ...] | None = None,
+        x: jax.Array | None = None,
+        clamp_x: bool = False,
+        guidance_scale: float = 0.0,
+        return_intermediates: bool = False,
+        return_latents: bool = False,
+        dtype: jnp.dtype = jnp.float32,
+    ) -> dict[str, jax.Array]:
+        """Generate samples; in latent mode decodes through the vision tower
+        (x / latent_scale + latent_bias, reference diffuser.py:209-228)."""
+        model_fn = self.model_fn(train=False)
+        out = self.diffusion.denoise(
+            model_fn, cond, rng,
+            data_shape=data_shape, x=x, clamp_x=clamp_x,
+            guidance_scale=guidance_scale, use_cfg=guidance_scale > 0,
+            return_intermediates=return_intermediates, dtype=dtype,
+        )
+        if self.vision_tower is not None and not return_latents:
+            out["x"] = self.vision_tower.decode(out["x"] / self.latent_scale + self.latent_bias)
+        return out

@@ -1,0 +1,254 @@
+"""Gaussian (DDPM) diffusion formalization.
+
+Behavioral parity with reference
+src/diffulab/diffuse/modelizations/gaussian_diffusion.py:18-447 (itself OpenAI
+guided-diffusion lineage), redesigned as pure functions:
+
+- beta tables (linear / cosine) are precomputed host-side in float64 and baked
+  into jitted functions as fp32 constants (the reference keeps fp64 torch
+  tensors, gaussian_diffusion.py:157-194);
+- respacing selects a subset of training timesteps and recomputes betas with a
+  ``timestep_map`` back to training indices (reference :87-133);
+- the training loss is epsilon-prediction MSE (reference :268-311);
+- the reverse process is one fused `jax.lax.scan` over descending step indices
+  with classifier-free guidance as a single batched 2x forward.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import cached_property
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffulab_tpu.diffuse.samplers.common import StepResult
+from diffulab_tpu.diffuse.samplers.gaussian import DDIM, DDPM
+from diffulab_tpu.diffuse.schedules import (
+    extract_into_tensor,
+    get_variance_schedule,
+    respace_betas,
+    space_timesteps,
+)
+from diffulab_tpu.utils import flatten_nonbatch_mean
+
+ModelFn = Callable[..., dict[str, jax.Array]]
+
+SAMPLER_REGISTRY = {
+    "ddpm": DDPM,
+    "ddim": DDIM,
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class GaussianDiffusion:
+    """DDPM (Ho et al. 2020) with respacing and selectable samplers."""
+
+    n_steps: int = 1000
+    sampling_method: str = "ddpm"
+    schedule: str = "linear"
+    latent_diffusion: bool = False
+    sampler_parameters: dict[str, Any] = dataclasses.field(default_factory=dict)
+    # Respacing config: number of sampling steps (defaults to n_steps = no respacing)
+    sampling_steps: int | None = None
+    section_counts: int | str | None = None
+
+    def __post_init__(self):
+        if self.sampling_method not in SAMPLER_REGISTRY:
+            raise ValueError("sampling method must be one of ['ddpm', 'ddim']")
+
+    @property
+    def training_steps(self) -> int:
+        return self.n_steps
+
+    @property
+    def steps(self) -> int:
+        return self.sampling_steps if self.sampling_steps is not None else self.n_steps
+
+    @cached_property
+    def _tables(self) -> tuple[np.ndarray, np.ndarray | None]:
+        """(betas, timestep_map) after optional respacing (reference :87-133)."""
+        betas = get_variance_schedule(self.training_steps, self.schedule)
+        section_counts = self.section_counts
+        if self.steps != self.training_steps:
+            section_counts = section_counts or self.steps
+        if section_counts:
+            use = space_timesteps(
+                num_timesteps=self.training_steps,
+                section_counts=section_counts,
+                ddim=self.sampling_method == "ddim",
+            )
+            new_betas, timestep_map = respace_betas(betas, use)
+            return new_betas, timestep_map
+        return betas, None
+
+    @property
+    def betas(self) -> np.ndarray:
+        return self._tables[0]
+
+    @property
+    def timestep_map(self) -> np.ndarray | None:
+        return self._tables[1]
+
+    @cached_property
+    def alphas_bar(self) -> np.ndarray:
+        return np.cumprod(1.0 - self.betas)
+
+    @cached_property
+    def sqrt_alphas_bar(self) -> np.ndarray:
+        return np.sqrt(self.alphas_bar)
+
+    @cached_property
+    def sampler(self):
+        s = SAMPLER_REGISTRY[self.sampling_method](**self.sampler_parameters)
+        return s.with_betas(self.betas)
+
+    def set_steps(
+        self, n_steps: int, schedule: str | None = None, section_counts: int | str | None = None
+    ) -> "GaussianDiffusion":
+        """Functional set_steps (reference :87-133): returns a new formalization
+        whose sampling grid (and respaced tables) differ; training steps stay."""
+        return dataclasses.replace(
+            self,
+            schedule=schedule or self.schedule,
+            sampling_steps=n_steps,
+            section_counts=section_counts,
+        )
+
+    # --- forward process ------------------------------------------------------
+    def draw_timesteps(self, rng: jax.Array, batch_size: int) -> jax.Array:
+        return jax.random.randint(rng, (batch_size,), 0, self.steps, dtype=jnp.int32)
+
+    def add_noise(
+        self, x: jax.Array, timesteps: jax.Array, noise: jax.Array
+    ) -> tuple[jax.Array, jax.Array]:
+        sab = extract_into_tensor(self.sqrt_alphas_bar, timesteps, x.ndim).astype(x.dtype)
+        ab = extract_into_tensor(self.alphas_bar, timesteps, x.ndim).astype(x.dtype)
+        x_t = sab * x + jnp.sqrt(1.0 - ab) * noise
+        return x_t, noise
+
+    def _map_timesteps(self, timesteps: jax.Array) -> jax.Array:
+        """Map respaced step indices to original training timesteps for the model."""
+        if self.timestep_map is not None:
+            return jnp.asarray(self.timestep_map)[timesteps]
+        return timesteps
+
+    # --- training loss ----------------------------------------------------------
+    def compute_loss(
+        self,
+        model_fn: ModelFn,
+        x0: jax.Array,
+        cond: dict[str, Any],
+        timesteps: jax.Array,
+        noise: jax.Array,
+        drop: jax.Array | None = None,
+        extra_losses: Sequence[Any] = (),
+        extra_args: dict[str, Any] | None = None,
+    ) -> dict[str, jax.Array]:
+        """Epsilon-prediction MSE (reference :268-311).
+
+        TODO parity note: like the reference (its TODO at :267), alternative
+        parameterizations / learned-variance losses are not implemented for
+        training; learned variance is supported at sampling time only.
+        """
+        xt, noise = self.add_noise(x0, timesteps, noise)
+        if drop is None:
+            drop = jnp.zeros((x0.shape[0],), dtype=bool)
+        model_timesteps = self._map_timesteps(timesteps)
+        prediction = model_fn(x=xt, timesteps=model_timesteps, cond=cond, drop=drop)
+        loss = jnp.mean((prediction["x"].astype(jnp.float32) - noise) ** 2)
+        loss_dict = {"loss": loss}
+        for extra_loss in extra_losses:
+            loss_dict[extra_loss.name] = extra_loss(model_output=prediction, **(extra_args or {}))
+        return loss_dict
+
+    # --- one reverse step ---------------------------------------------------------
+    def one_step_denoise(
+        self,
+        model_fn: ModelFn,
+        x: jax.Array,
+        cond: dict[str, Any],
+        t: jax.Array,
+        clamp_x: bool = False,
+        guidance_scale: float | jax.Array = 0.0,
+        use_cfg: bool = False,
+        rng: jax.Array | None = None,
+        sampler_args: dict[str, Any] | None = None,
+    ) -> StepResult:
+        batch = x.shape[0]
+        timesteps = jnp.full((batch,), t, dtype=jnp.int32)
+        model_timesteps = self._map_timesteps(timesteps)
+
+        if use_cfg:
+            x2 = jnp.concatenate([x, x], axis=0)
+            t2 = jnp.concatenate([model_timesteps, model_timesteps], axis=0)
+            cond2 = jax.tree.map(lambda c: jnp.concatenate([c, c], axis=0), cond)
+            drop = jnp.concatenate([jnp.zeros((batch,), bool), jnp.ones((batch,), bool)])
+            out = model_fn(x=x2, timesteps=t2, cond=cond2, drop=drop)["x"]
+            pred_cond, pred_uncond = jnp.split(out, 2, axis=0)
+            prediction = pred_uncond + guidance_scale * (pred_cond - pred_uncond)
+        else:
+            drop = jnp.zeros((batch,), dtype=bool)
+            prediction = model_fn(x=x, timesteps=model_timesteps, cond=cond, drop=drop)["x"]
+
+        return self.sampler.step(
+            model_prediction=prediction,
+            timesteps=timesteps,
+            xt=x,
+            rng=rng,
+            clamp_x=clamp_x,
+            **(sampler_args or {}),
+        )
+
+    # --- full reverse process (scan-fused) -------------------------------------------
+    def denoise(
+        self,
+        model_fn: ModelFn,
+        cond: dict[str, Any],
+        rng: jax.Array,
+        data_shape: tuple[int, ...] | None = None,
+        x: jax.Array | None = None,
+        clamp_x: bool = False,
+        guidance_scale: float | jax.Array = 0.0,
+        use_cfg: bool = False,
+        return_intermediates: bool = False,
+        dtype: jnp.dtype = jnp.float32,
+    ) -> dict[str, jax.Array]:
+        """Full ancestral/DDIM reverse process as one `lax.scan`
+        (reference Python loop: gaussian_diffusion.py:409-434)."""
+        if x is None:
+            assert data_shape is not None, "'data_shape' must be provided if 'x' is not given"
+            rng, init_rng = jax.random.split(rng)
+            x = jax.random.normal(init_rng, data_shape, dtype=dtype)
+
+        t_indices = jnp.arange(self.steps - 1, -1, -1, dtype=jnp.int32)
+
+        def body(carry, t):
+            x_t, step_rng = carry
+            step_rng, use_rng = jax.random.split(step_rng)
+            step = self.one_step_denoise(
+                model_fn, x_t, cond, t,
+                clamp_x=clamp_x, guidance_scale=guidance_scale, use_cfg=use_cfg,
+                rng=use_rng,
+            )
+            ys = {k: step[k] for k in step} if return_intermediates else None
+            return (step["x_prev"], step_rng), ys
+
+        (x_final, _), ys = jax.lax.scan(body, (x, rng), t_indices)
+
+        out: dict[str, jax.Array] = {"x": x_final}
+        if return_intermediates and ys is not None:
+            def to_batch_major(y):
+                return jnp.moveaxis(y, 0, 1)
+
+            out["xt"] = jnp.concatenate([x[:, None], to_batch_major(ys["x_prev"])], axis=1)
+            out["estimated_x0"] = to_batch_major(ys["estimated_x0"])
+            if "x_prev_mean" in ys:
+                out["xt_mean"] = to_batch_major(ys["x_prev_mean"])
+            if "x_prev_std" in ys:
+                out["xt_std"] = to_batch_major(ys["x_prev_std"])
+            if "logprob" in ys:
+                out["logprob"] = to_batch_major(ys["logprob"])
+        return out

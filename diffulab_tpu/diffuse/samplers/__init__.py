@@ -1,0 +1,14 @@
+from diffulab_tpu.diffuse.samplers.common import FlowSampler, GaussianSampler, Sampler, StepResult
+from diffulab_tpu.diffuse.samplers.flow import Euler, EulerMaruyama
+from diffulab_tpu.diffuse.samplers.gaussian import DDIM, DDPM
+
+__all__ = [
+    "DDIM",
+    "DDPM",
+    "Euler",
+    "EulerMaruyama",
+    "FlowSampler",
+    "GaussianSampler",
+    "Sampler",
+    "StepResult",
+]

@@ -1,0 +1,229 @@
+"""Gaussian-diffusion samplers: DDPM ancestral and DDIM.
+
+Posterior-moment machinery re-derived from the reference
+src/diffulab/diffuse/samplers/gaussian_diffusion/ddpm.py:49-363 and
+ddim.py:28-103 (itself OpenAI guided-diffusion lineage). Tables are
+precomputed in float64 on the host and baked as fp32 constants into the jitted
+sampling scan.
+
+Layout note: this framework is NHWC (TPU-native); the learned-variance channel
+split therefore chunks the LAST axis, where the reference (NCHW) chunks axis 1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffulab_tpu.diffuse.samplers.common import GaussianSampler, StepResult
+from diffulab_tpu.diffuse.schedules import extract_into_tensor
+
+MEAN_TYPES = ("epsilon", "xstart", "xprev")
+VAR_TYPES = ("learned", "fixed_small", "fixed_large", "learned_range")
+
+
+@dataclasses.dataclass(frozen=True)
+class DDPM(GaussianSampler):
+    """DDPM ancestral sampler with selectable mean/variance parameterizations."""
+
+    name = "ddpm"
+    mean_type: str = "epsilon"
+    var_type: str = "fixed_small"
+    # Precomputed fp64 tables (None until with_betas); treated as jit constants.
+    betas: np.ndarray | None = None
+    alphas_bar: np.ndarray | None = None
+    alphas_bar_prev: np.ndarray | None = None
+    alphas_bar_next: np.ndarray | None = None
+    sqrt_alphas_bar: np.ndarray | None = None
+    posterior_variance: np.ndarray | None = None
+    posterior_log_variance_clipped: np.ndarray | None = None
+    posterior_mean_coef1: np.ndarray | None = None
+    posterior_mean_coef2: np.ndarray | None = None
+
+    def __post_init__(self):
+        if self.mean_type not in MEAN_TYPES:
+            raise ValueError(f"mean_type must be one of {MEAN_TYPES}")
+        if self.var_type not in VAR_TYPES:
+            raise ValueError(f"var_type must be one of {VAR_TYPES}")
+
+    def with_betas(self, betas: np.ndarray) -> "DDPM":
+        """Precompute posterior tables for a beta schedule (fp64 host-side)."""
+        betas = np.asarray(betas, dtype=np.float64)
+        alphas = 1.0 - betas
+        alphas_bar = np.cumprod(alphas)
+        alphas_bar_prev = np.concatenate([[1.0], alphas_bar[:-1]])
+        alphas_bar_next = np.concatenate([alphas_bar[1:], [0.0]])
+        posterior_variance = betas * (1.0 - alphas_bar_prev) / (1.0 - alphas_bar)
+        # log is clipped because posterior variance is 0 at t=0
+        posterior_log_variance_clipped = np.log(
+            np.concatenate([posterior_variance[1:2], posterior_variance[1:]])
+        )
+        return dataclasses.replace(
+            self,
+            betas=betas,
+            alphas_bar=alphas_bar,
+            alphas_bar_prev=alphas_bar_prev,
+            alphas_bar_next=alphas_bar_next,
+            sqrt_alphas_bar=np.sqrt(alphas_bar),
+            posterior_variance=posterior_variance,
+            posterior_log_variance_clipped=posterior_log_variance_clipped,
+            posterior_mean_coef1=betas * np.sqrt(alphas_bar_prev) / (1.0 - alphas_bar),
+            posterior_mean_coef2=(1.0 - alphas_bar_prev) * np.sqrt(alphas) / (1.0 - alphas_bar),
+        )
+
+    # --- x0 recovery ------------------------------------------------------
+    def _get_x_start_from_x_prev(self, x_prev, xt, t):
+        c1 = extract_into_tensor(self.posterior_mean_coef1, t, x_prev.ndim)
+        c2 = extract_into_tensor(self.posterior_mean_coef2, t, xt.ndim)
+        return (1.0 / c1) * x_prev - (c2 / c1) * xt
+
+    def _get_x_start_from_eps(self, eps, xt, t):
+        sab = extract_into_tensor(self.sqrt_alphas_bar, t, xt.ndim)
+        ab = extract_into_tensor(self.alphas_bar, t, eps.ndim)
+        return (1.0 / sab) * xt - (jnp.sqrt(1.0 - ab) / sab) * eps
+
+    def _get_eps_from_xstart(self, x_start, xt, t):
+        sab = extract_into_tensor(self.sqrt_alphas_bar, t, xt.ndim)
+        ab = extract_into_tensor(self.alphas_bar, t, xt.ndim)
+        return ((1.0 / sab) * xt - x_start) / jnp.sqrt(1.0 / ab - 1.0)
+
+    def get_x_start(self, model_output, xt, t, clamp_x: bool = False):
+        if self.mean_type == "xprev":
+            x_start = self._get_x_start_from_x_prev(model_output, xt, t)
+        elif self.mean_type == "xstart":
+            x_start = model_output
+        elif self.mean_type == "epsilon":
+            x_start = self._get_x_start_from_eps(model_output, xt, t)
+        else:  # pragma: no cover - validated in __post_init__
+            raise ValueError(f"Unknown mean type: {self.mean_type}")
+        if clamp_x:
+            x_start = jnp.clip(x_start, -1.0, 1.0)
+        return x_start
+
+    def _get_mean_from_x_start(self, xt, x_start, t):
+        return (
+            extract_into_tensor(self.posterior_mean_coef1, t, x_start.ndim) * x_start
+            + extract_into_tensor(self.posterior_mean_coef2, t, xt.ndim) * xt
+        )
+
+    # --- variance dispatch ------------------------------------------------
+    def get_variance(self, t, x_ndim: int, log_var=None):
+        if self.var_type == "fixed_small":
+            var = extract_into_tensor(self.posterior_variance, t, x_ndim)
+            lv = extract_into_tensor(self.posterior_log_variance_clipped, t, x_ndim)
+        elif self.var_type == "fixed_large":
+            v_seq = np.concatenate([self.posterior_variance[1:2], self.betas[1:]])
+            var = extract_into_tensor(v_seq, t, x_ndim)
+            lv = extract_into_tensor(np.log(v_seq), t, x_ndim)
+        elif self.var_type == "learned":
+            assert log_var is not None, "log_var must be provided for learned variance"
+            var, lv = jnp.exp(log_var), log_var
+        elif self.var_type == "learned_range":
+            assert log_var is not None, "log_var must be provided for learned_range variance"
+            min_log = extract_into_tensor(self.posterior_log_variance_clipped, t, x_ndim)
+            max_log = extract_into_tensor(np.log(self.betas), t, x_ndim)
+            w = (log_var + 1.0) / 2.0
+            lv = w * max_log + (1.0 - w) * min_log
+            var = jnp.exp(lv)
+        else:  # pragma: no cover
+            raise ValueError(f"Unknown model var type: {self.var_type}")
+        return var, lv
+
+    def _get_p_mean_var(self, prediction, xt, t, clamp_x: bool = False):
+        model_output = prediction
+        log_var = None
+        if self.var_type in ("learned", "learned_range"):
+            assert model_output.shape[-1] % 2 == 0
+            model_output, log_var = jnp.split(model_output, 2, axis=-1)
+        x_start = self.get_x_start(model_output, xt, t, clamp_x)
+        mean = self._get_mean_from_x_start(xt, x_start, t)
+        var, log_var = self.get_variance(t, xt.ndim, log_var)
+        return mean, var, log_var, x_start
+
+    # --- ancestral step ----------------------------------------------------
+    def step(
+        self,
+        model_prediction: jax.Array,
+        timesteps: jax.Array,
+        xt: jax.Array,
+        *,
+        rng: jax.Array | None = None,
+        clamp_x: bool = False,
+        x_prev: jax.Array | None = None,
+    ) -> StepResult:
+        mean, var, log_var, x_start = self._get_p_mean_var(model_prediction, xt, timesteps, clamp_x)
+        t_mask = (timesteps > 0).astype(mean.dtype).reshape(-1, *([1] * (mean.ndim - 1)))
+
+        if x_prev is None:
+            assert rng is not None, "rng required to sample the DDPM ancestral step"
+            noise = jax.random.normal(rng, mean.shape, dtype=mean.dtype)
+            x_prev = mean + t_mask * noise * jnp.exp(0.5 * log_var)
+
+        var_safe = jnp.maximum(var, 1e-20)
+        const = 0.5 * jnp.log(2.0 * math.pi * var_safe)
+        elem = -((jax.lax.stop_gradient(x_prev) - mean) ** 2) / (2.0 * var_safe) - const
+        logprob = elem * t_mask  # zero at t==0 (degenerate transition)
+
+        return {
+            "x_prev": x_prev,
+            "estimated_x0": x_start,
+            "x_prev_mean": mean,
+            "x_prev_std": jnp.sqrt(var_safe),
+            "logprob": logprob,
+        }
+
+
+@dataclasses.dataclass(frozen=True)
+class DDIM(DDPM):
+    """DDIM update (deterministic at eta=0; stochastic with logprobs when eta>0)."""
+
+    name = "ddim"
+    eta: float = 0.0
+
+    def _sample_x_prev_ddim(self, xt, eps, x_start, t, rng):
+        ab = extract_into_tensor(self.alphas_bar, t, xt.ndim)
+        ab_prev = extract_into_tensor(self.alphas_bar_prev, t, xt.ndim)
+        sigma = self.eta * jnp.sqrt((1.0 - ab_prev) / (1.0 - ab)) * jnp.sqrt(1.0 - ab / ab_prev)
+        mean_pred = x_start * jnp.sqrt(ab_prev) + jnp.sqrt(1.0 - ab_prev - sigma**2) * eps
+        t_mask = (t > 0).astype(mean_pred.dtype).reshape(-1, *([1] * (mean_pred.ndim - 1)))
+        if self.eta > 0:
+            assert rng is not None, "rng required for stochastic DDIM"
+            noise = jax.random.normal(rng, mean_pred.shape, dtype=mean_pred.dtype)
+            x_prev = mean_pred + t_mask * sigma * noise
+        else:
+            x_prev = mean_pred
+        return x_prev, mean_pred, sigma
+
+    def step(
+        self,
+        model_prediction: jax.Array,
+        timesteps: jax.Array,
+        xt: jax.Array,
+        *,
+        rng: jax.Array | None = None,
+        clamp_x: bool = False,
+        x_prev: jax.Array | None = None,
+    ) -> StepResult:
+        del x_prev
+        _, _, _, x_start = self._get_p_mean_var(model_prediction, xt, timesteps, clamp_x)
+        eps = self._get_eps_from_xstart(x_start, xt, timesteps)
+        x_prev_s, ddim_mean, ddim_std = self._sample_x_prev_ddim(xt, eps, x_start, timesteps, rng)
+
+        out: StepResult = {
+            "x_prev": x_prev_s,
+            "estimated_x0": x_start,
+            "x_prev_mean": ddim_mean,
+        }
+        if self.eta > 0:
+            logprob = -(
+                (jax.lax.stop_gradient(x_prev_s) - ddim_mean) ** 2 / (2.0 * ddim_std**2)
+                + jnp.log(ddim_std)
+                + 0.5 * math.log(2.0 * math.pi)
+            )
+            out["x_prev_std"] = ddim_std
+            out["logprob"] = logprob
+        return out

@@ -1,0 +1,158 @@
+"""Flow-matching formalization tests against closed forms."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffulab_tpu.diffuse.flow import Flow
+from diffulab_tpu.diffuse.samplers.flow import Euler, EulerMaruyama
+
+
+def _const_v_model(v_field):
+    """A fake denoiser predicting a constant velocity field."""
+
+    def model_fn(x, timesteps, cond, drop):
+        return {"x": jnp.broadcast_to(v_field, x.shape)}
+
+    return model_fn
+
+
+def test_add_noise_algebra():
+    flow = Flow(n_steps=10)
+    rng = jax.random.key(0)
+    x0 = jax.random.normal(rng, (4, 8, 8, 3))
+    noise = jax.random.normal(jax.random.key(1), (4, 8, 8, 3))
+    t = jnp.array([0.0, 0.5, 1.0, 0.25])
+    xt, _ = flow.add_noise(x0, t, noise)
+    np.testing.assert_allclose(xt[0], x0[0], atol=1e-6)  # t=0 -> clean
+    np.testing.assert_allclose(xt[2], noise[2], atol=1e-6)  # t=1 -> noise
+    np.testing.assert_allclose(xt[1], 0.5 * x0[1] + 0.5 * noise[1], atol=1e-6)
+
+
+def test_euler_exact_on_linear_field():
+    """With constant true velocity v = eps - x0, Euler integration is exact."""
+    rng = jax.random.key(0)
+    x0 = jax.random.normal(rng, (2, 4, 4, 1))
+    eps = jax.random.normal(jax.random.key(1), (2, 4, 4, 1))
+    v = eps - x0
+    flow = Flow(n_steps=7, sampling_method="euler")
+    out = flow.denoise(_const_v_model(v), cond={}, rng=jax.random.key(2), x=eps)
+    np.testing.assert_allclose(np.asarray(out["x"]), np.asarray(x0), atol=1e-5)
+
+
+def test_euler_step_estimated_x0():
+    sampler = Euler()
+    x_t = jnp.ones((2, 4))
+    v = jnp.full((2, 4), 2.0)
+    res = sampler.step(x_t, v, jnp.float32(0.5), jnp.float32(0.25))
+    np.testing.assert_allclose(np.asarray(res["x_prev"]), 1.0 - 2.0 * 0.25, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res["estimated_x0"]), 1.0 - 2.0 * 0.5, atol=1e-6)
+
+
+def test_draw_timesteps_ranges():
+    flow = Flow(n_steps=10, logits_normal=True, shift=3.0)
+    t = flow.draw_timesteps(jax.random.key(0), 512)
+    assert t.shape == (512,)
+    assert float(t.min()) >= 0.0 and float(t.max()) <= 1.0
+
+    flow_x = Flow(n_steps=10, prediction_type="x")
+    t = flow_x.draw_timesteps(jax.random.key(0), 512)
+    assert float(t.min()) >= 0.05  # x-prediction clamps t
+
+
+def test_compute_loss_zero_for_perfect_model():
+    rng = jax.random.key(0)
+    x0 = jax.random.normal(rng, (4, 4, 4, 2))
+    noise = jax.random.normal(jax.random.key(1), (4, 4, 4, 2))
+    v = noise - x0
+    flow = Flow(n_steps=10)
+    t = jnp.array([0.1, 0.4, 0.7, 0.95])
+    losses = flow.compute_loss(_const_v_model(v), x0, {}, t, noise)
+    assert float(losses["loss"]) < 1e-10
+
+
+def test_x_prediction_loss_matches_v_loss_for_perfect_model():
+    """x-prediction model outputting true x0 must give zero loss too."""
+    rng = jax.random.key(0)
+    x0 = jax.random.normal(rng, (4, 4, 4, 2))
+    noise = jax.random.normal(jax.random.key(1), (4, 4, 4, 2))
+    flow = Flow(n_steps=10, prediction_type="x")
+
+    def model_fn(x, timesteps, cond, drop):
+        return {"x": jnp.broadcast_to(x0, x.shape)}
+
+    t = jnp.array([0.1, 0.4, 0.7, 0.95])
+    losses = flow.compute_loss(model_fn, x0, {}, t, noise)
+    assert float(losses["loss"]) < 1e-9
+
+
+def test_euler_maruyama_logprob_is_normal_logpdf():
+    sampler = EulerMaruyama(eta=0.7).with_timesteps([1.0, 0.9, 0.8])
+    x_t = jnp.zeros((2, 3))
+    v = jnp.ones((2, 3))
+    res = sampler.step(x_t, v, jnp.float32(0.9), jnp.float32(0.8), rng=jax.random.key(0))
+    mean, std = np.asarray(res["x_prev_mean"]), float(res["x_prev_std"][0])
+    x_prev = np.asarray(res["x_prev"])
+    expected = -((x_prev - mean) ** 2) / (2 * std**2) - np.log(std) - 0.5 * np.log(2 * np.pi)
+    np.testing.assert_allclose(np.asarray(res["logprob"]), expected, rtol=1e-5)
+    # sigma formula: eta * sqrt(t / (1 - min(t, tmax)))
+    sigma = 0.7 * np.sqrt(0.9 / (1 - 0.9))
+    np.testing.assert_allclose(std, sigma * np.sqrt(0.9 - 0.8), rtol=1e-5)
+
+
+def test_denoise_return_intermediates_shapes():
+    flow = Flow(n_steps=5, sampling_method="euler_maruyama")
+    v = jnp.zeros((2, 4, 4, 1))
+    out = flow.denoise(
+        _const_v_model(v), cond={}, rng=jax.random.key(0),
+        data_shape=(2, 4, 4, 1), return_intermediates=True,
+    )
+    assert out["xt"].shape == (2, 6, 4, 4, 1)
+    assert out["estimated_x0"].shape == (2, 5, 4, 4, 1)
+    assert out["logprob"].shape == (2, 5, 4, 4, 1)
+    assert out["xt_mean"].shape == (2, 5, 4, 4, 1)
+    assert out["xt_std"].shape == (5,)
+
+
+def test_denoise_jits_and_cfg_runs():
+    rng = jax.random.key(0)
+    x0 = jax.random.normal(rng, (1, 4, 4, 1))
+    eps = jax.random.normal(jax.random.key(1), (1, 4, 4, 1))
+    v = eps - x0  # batch-1 field broadcasts to the fused 2x CFG batch
+    flow = Flow(n_steps=4)
+    fn = jax.jit(
+        lambda r: flow.denoise(
+            _const_v_model(v), cond={"y": jnp.zeros((1,), jnp.int32)},
+            rng=r, x=eps, guidance_scale=2.0, use_cfg=True,
+        )["x"]
+    )
+    out = fn(jax.random.key(2))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=1e-5)
+
+
+def test_grpo_loss_runs_and_is_finite():
+    flow = Flow(n_steps=6, sampling_method="euler_maruyama")
+    v = jnp.zeros((1, 4, 4, 1))  # batch-1: broadcasts through the fused CFG batch
+    model = _const_v_model(v)
+    sampling = flow.denoise(
+        model, cond={}, rng=jax.random.key(0),
+        data_shape=(2, 4, 4, 1), return_intermediates=True,
+    )
+    adv = jnp.array([1.0, -1.0])
+    losses = flow.compute_loss_grpo(
+        model, {}, sampling, adv, rng=jax.random.key(1), kl_beta=0.1,
+    )
+    assert np.isfinite(float(losses["loss"]))
+
+
+def test_set_steps_returns_new_grid():
+    flow = Flow(n_steps=50)
+    flow2 = flow.set_steps(10, shift=2.0)
+    assert flow2.steps == 10 and flow.steps == 50
+    assert flow2.timesteps.shape == (11,)
+
+
+def test_invalid_prediction_type():
+    with pytest.raises(AssertionError):
+        Flow(prediction_type="eps")

@@ -1,0 +1,147 @@
+"""Gaussian diffusion (DDPM/DDIM) tests against guided-diffusion closed forms."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffulab_tpu.diffuse.gaussian_diffusion import GaussianDiffusion
+from diffulab_tpu.diffuse.samplers.gaussian import DDIM, DDPM
+from diffulab_tpu.diffuse.schedules import get_variance_schedule
+
+
+def _betas(n=100):
+    return get_variance_schedule(n, "linear")
+
+
+def test_ddpm_posterior_moments_match_formulas():
+    betas = _betas()
+    s = DDPM().with_betas(betas)
+    alphas = 1 - betas
+    alphas_bar = np.cumprod(alphas)
+    alphas_bar_prev = np.concatenate([[1.0], alphas_bar[:-1]])
+    np.testing.assert_allclose(
+        s.posterior_variance, betas * (1 - alphas_bar_prev) / (1 - alphas_bar), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        s.posterior_mean_coef1, betas * np.sqrt(alphas_bar_prev) / (1 - alphas_bar), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        s.posterior_mean_coef2, (1 - alphas_bar_prev) * np.sqrt(alphas) / (1 - alphas_bar), rtol=1e-12
+    )
+
+
+def test_x_start_recovery_roundtrip():
+    """eps -> x0 -> eps roundtrip must be identity."""
+    s = DDPM().with_betas(_betas())
+    rng = jax.random.key(0)
+    xt = jax.random.normal(rng, (4, 8))
+    eps = jax.random.normal(jax.random.key(1), (4, 8))
+    t = jnp.array([3, 20, 50, 90])
+    x_start = s._get_x_start_from_eps(eps, xt, t)
+    eps_back = s._get_eps_from_xstart(x_start, xt, t)
+    np.testing.assert_allclose(np.asarray(eps_back), np.asarray(eps), rtol=1e-3, atol=1e-4)
+
+
+def test_add_noise_matches_closed_form():
+    gd = GaussianDiffusion(n_steps=100)
+    rng = jax.random.key(0)
+    x0 = jax.random.normal(rng, (3, 4, 4, 1))
+    noise = jax.random.normal(jax.random.key(1), (3, 4, 4, 1))
+    t = jnp.array([0, 50, 99])
+    xt, _ = gd.add_noise(x0, t, noise)
+    ab = np.cumprod(1 - gd.betas)
+    for i, ti in enumerate([0, 50, 99]):
+        expected = np.sqrt(ab[ti]) * np.asarray(x0[i]) + np.sqrt(1 - ab[ti]) * np.asarray(noise[i])
+        np.testing.assert_allclose(np.asarray(xt[i]), expected, rtol=1e-5, atol=1e-6)
+
+
+def test_ddim_eta0_perfect_model_recovers_x0():
+    """With a model that predicts the exact noise, DDIM(eta=0) recovers x0."""
+    gd = GaussianDiffusion(n_steps=50, sampling_method="ddim")
+    rng = jax.random.key(0)
+    x0 = jax.random.normal(rng, (2, 4, 4, 1))
+    eps = jax.random.normal(jax.random.key(1), (2, 4, 4, 1))
+    ab = jnp.asarray(np.cumprod(1 - gd.betas), dtype=jnp.float32)
+
+    def model_fn(x, timesteps, cond, drop):
+        # true eps consistent with xt: eps = (xt - sqrt(ab) x0) / sqrt(1-ab)
+        a = ab[timesteps].reshape(-1, 1, 1, 1)
+        return {"x": (x - jnp.sqrt(a) * x0) / jnp.sqrt(1 - a)}
+
+    xT = jnp.sqrt(ab[-1]) * x0 + jnp.sqrt(1 - ab[-1]) * eps
+    out = gd.denoise(model_fn, cond={}, rng=jax.random.key(2), x=xT)
+    np.testing.assert_allclose(np.asarray(out["x"]), np.asarray(x0), atol=1e-3)
+
+
+def test_ddpm_step_t0_returns_mean():
+    s = DDPM().with_betas(_betas())
+    pred = jnp.zeros((2, 4))
+    xt = jnp.ones((2, 4))
+    t = jnp.zeros((2,), jnp.int32)
+    res = s.step(pred, t, xt, rng=jax.random.key(0))
+    np.testing.assert_allclose(np.asarray(res["x_prev"]), np.asarray(res["x_prev_mean"]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res["logprob"]), 0.0, atol=1e-6)  # masked at t=0
+
+
+def test_learned_range_variance_interpolates():
+    s = DDPM(var_type="learned_range").with_betas(_betas())
+    t = jnp.array([10, 50])
+    # w=+1 -> max_log = log(beta_t); w=-1 -> min_log = posterior_log_var_clipped
+    var_hi, lv_hi = s.get_variance(t, 2, log_var=jnp.ones((2, 4)))
+    var_lo, lv_lo = s.get_variance(t, 2, log_var=-jnp.ones((2, 4)))
+    np.testing.assert_allclose(np.asarray(lv_hi)[:, 0], np.log(s.betas)[np.array([10, 50])], rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(lv_lo)[:, 0], s.posterior_log_variance_clipped[np.array([10, 50])], rtol=1e-5
+    )
+
+
+def test_learned_variance_channel_split_nhwc():
+    s = DDPM(var_type="learned_range").with_betas(_betas())
+    pred = jnp.concatenate([jnp.zeros((2, 4, 4, 3)), jnp.zeros((2, 4, 4, 3))], axis=-1)
+    res = s.step(pred, jnp.array([5, 5]), jnp.ones((2, 4, 4, 3)), rng=jax.random.key(0))
+    assert res["x_prev"].shape == (2, 4, 4, 3)
+
+
+def test_respacing_model_sees_training_timesteps():
+    gd = GaussianDiffusion(n_steps=1000).set_steps(50)
+    assert gd.steps == 50
+    assert gd.timestep_map is not None and len(gd.timestep_map) == 50
+    seen = []
+
+    def model_fn(x, timesteps, cond, drop):
+        seen.append(timesteps)
+        return {"x": jnp.zeros_like(x)}
+
+    gd.one_step_denoise(model_fn, jnp.zeros((1, 2, 2, 1)), {}, jnp.int32(49), rng=jax.random.key(0))
+    # respaced index 49 must map to a training timestep near 999
+    assert int(seen[0][0]) == int(gd.timestep_map[49])
+    assert int(seen[0][0]) > 900
+
+
+def test_denoise_scan_runs_under_jit():
+    # (n_steps must be large enough for the Ho-et-al linear schedule to keep
+    # beta < 1; respace down to 10 sampling steps instead)
+    gd = GaussianDiffusion(n_steps=100).set_steps(10)
+
+    def model_fn(x, timesteps, cond, drop):
+        return {"x": jnp.zeros_like(x)}
+
+    fn = jax.jit(lambda r: gd.denoise(model_fn, {}, r, data_shape=(2, 4, 4, 1))["x"])
+    out = fn(jax.random.key(0))
+    assert out.shape == (2, 4, 4, 1)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_draw_timesteps_in_range():
+    gd = GaussianDiffusion(n_steps=100)
+    t = gd.draw_timesteps(jax.random.key(0), 256)
+    assert t.dtype == jnp.int32
+    assert int(t.min()) >= 0 and int(t.max()) < 100
+
+
+def test_ddim_with_eta_returns_logprob():
+    s = DDIM(eta=0.5).with_betas(_betas())
+    pred = jnp.zeros((2, 4))
+    res = s.step(pred, jnp.array([5, 5]), jnp.ones((2, 4)), rng=jax.random.key(0))
+    assert "logprob" in res and "x_prev_std" in res
+    assert np.isfinite(np.asarray(res["logprob"])).all()
