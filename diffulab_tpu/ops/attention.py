@@ -1,0 +1,87 @@
+"""Attention dispatch: Pallas flash attention on TPU, XLA SDPA elsewhere.
+
+The models call one entry point, ``dot_product_attention(q, k, v, kv_mask)``,
+with the reference's [B, S, H, D] layout (what SDPA receives after the qkv
+reshape in reference mmdit.py:85-99). Dispatch rules:
+
+- backend == "tpu" and head_dim fits VMEM tiling -> Pallas flash kernel
+  (sequence lengths auto-padded to the 128 block with a synthesized padding
+  mask; padded query rows are sliced off);
+- otherwise -> ``jax.nn.dot_product_attention`` (XLA), which CPU tests use.
+
+The choice can be forced with ``impl=`` for A/B benchmarking.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from diffulab_tpu.ops.flash_attention import MIN_BLOCK, flash_attention
+
+
+def _pad_to(x: jax.Array, axis: int, target: int) -> jax.Array:
+    pad = target - x.shape[axis]
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def use_flash(q_shape: tuple[int, ...], backend: str | None = None) -> bool:
+    backend = backend or jax.default_backend()
+    head_dim = q_shape[-1]
+    # Mosaic wants the trailing dim a multiple of 128 lanes for the MXU path.
+    return backend == "tpu" and head_dim % 128 == 0 and head_dim <= 256
+
+
+def dot_product_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    kv_mask: jax.Array | None = None,
+    scale: float | None = None,
+    impl: str = "auto",
+) -> jax.Array:
+    """Bidirectional attention. q [B,Sq,H,D], k/v [B,Skv,H,D], kv_mask [B,Skv].
+
+    Returns [B, Sq, H, D] in q's dtype.
+    """
+    assert impl in ("auto", "flash", "xla")
+    if impl == "flash" or (impl == "auto" and use_flash(q.shape)):
+        return _flash_path(q, k, v, kv_mask, scale)
+    return _xla_path(q, k, v, kv_mask, scale)
+
+
+def _xla_path(q, k, v, kv_mask, scale):
+    mask = None
+    if kv_mask is not None:
+        mask = kv_mask[:, None, None, :]  # [B,1,1,Skv] broadcast over heads+queries
+    return jax.nn.dot_product_attention(q, k, v, mask=mask, scale=scale)
+
+
+def _flash_path(q, k, v, kv_mask, scale, interpret: bool = False):
+    b, sq, h, d = q.shape
+    skv = k.shape[1]
+    sq_p = _round_up(sq, MIN_BLOCK)
+    skv_p = _round_up(skv, MIN_BLOCK)
+
+    if kv_mask is None and skv_p != skv:
+        kv_mask = jnp.ones((b, skv), dtype=bool)
+    qp = _pad_to(q, 1, sq_p)
+    kp = _pad_to(k, 1, skv_p)
+    vp = _pad_to(v, 1, skv_p)
+    maskp = _pad_to(kv_mask, 1, skv_p) if kv_mask is not None else None
+
+    # [B,S,H,D] -> [B,H,S,D]
+    qp = jnp.swapaxes(qp, 1, 2)
+    kp = jnp.swapaxes(kp, 1, 2)
+    vp = jnp.swapaxes(vp, 1, 2)
+    o = flash_attention(qp, kp, vp, maskp, scale, 128, 128, interpret)
+    o = jnp.swapaxes(o, 1, 2)
+    return o[:, :sq]
