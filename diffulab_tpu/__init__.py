@@ -20,3 +20,12 @@ parsers, a sharded streaming dataset format, and aspect-ratio bucketing.
 """
 
 __version__ = "0.1.0"
+
+import flax as _flax
+
+# Parameters carry logical-axis sharding annotations (nnx.with_partitioning) so
+# the parallel layer can shard them onto a mesh; disable flax's eager sharding
+# so models can also be created without an active mesh context (single-chip,
+# CPU tests). diffulab_tpu.parallel applies the shardings explicitly.
+_flax.config.update("flax_always_shard_variable", False)
+

@@ -1,0 +1,538 @@
+"""DiT / MMDiT denoiser family (SD3-style, https://arxiv.org/pdf/2403.03206).
+
+TPU-first redesign of reference src/diffulab/networks/denoisers/mmdit.py:29-928:
+
+- NHWC patchify (stride-P conv) -> token stream [B, S, C]; unpatchify back;
+- adaLN(-zero) modulated blocks: ``DiTBlock`` (single stream),
+  ``MMDiTBlock`` (dual stream with concat attention over [context; image]),
+  ``MMDiTSingleStreamBlock`` (Flux-style fused single-stream, 3-param
+  modulation);
+- attention runs through diffulab_tpu.ops.dot_product_attention (Pallas flash
+  on TPU, XLA fallback), with the context attn-mask extended by ones over
+  image tokens (reference mmdit.py:192-200);
+- N-D RoPE position ids: text (l, 0, 0) / image (0, h, w) in multimodal mode,
+  (h, w) in simple-DiT mode (reference mmdit.py:813-836, 870-886);
+- pooled context fused into the timestep embedding via an MLP when the
+  embedder returns 2 outputs (reference mmdit.py:800-806);
+- ``use_checkpoint`` maps to ``nnx.remat`` over each block;
+- xavier-uniform linears/convs, zero-init modulations (adaLN-zero,
+  reference mmdit.py:737-745);
+- weight matrices carry logical-axis sharding metadata ("embed"/"hidden") so
+  a tensor-parallel mesh axis can shard qkv/mlp columns and proj rows without
+  touching model code (see diffulab_tpu.parallel.sharding).
+
+Feature capture for REPA returns post-block token streams at selected layer
+indices instead of the reference's forward hooks (losses/repa.py:119-135).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from diffulab_tpu.networks.denoisers.common import Denoiser, ModelOutput
+from diffulab_tpu.networks.embedders.common import ContextEmbedder
+from diffulab_tpu.networks.nn import (
+    LabelEmbed,
+    Modulation,
+    QKNorm,
+    apply_rope_ndim,
+    get_cos_sin_ndim_grid,
+    modulate,
+    packed_swiglu,
+    timestep_embedding,
+)
+from diffulab_tpu.ops import dot_product_attention
+
+Initializer = nnx.initializers.Initializer
+
+
+def _xavier(sharding: tuple[str | None, ...] | None = None) -> Initializer:
+    init = nnx.initializers.xavier_uniform()
+    if sharding is not None:
+        init = nnx.with_partitioning(init, sharding)
+    return init
+
+
+def _linear(
+    din: int, dout: int, *, rngs: nnx.Rngs, use_bias: bool = True,
+    sharding: tuple[str | None, ...] | None = None, dtype=None, param_dtype=jnp.float32,
+) -> nnx.Linear:
+    return nnx.Linear(
+        din, dout, use_bias=use_bias,
+        kernel_init=_xavier(sharding), bias_init=nnx.initializers.zeros_init(),
+        dtype=dtype, param_dtype=param_dtype, rngs=rngs,
+    )
+
+
+class LayerNormFP32(nnx.Module):
+    """LayerNorm computed in fp32 (torch autocast promotes LN to fp32)."""
+
+    def __init__(self, dim: int, use_affine: bool = True, eps: float = 1e-5, *,
+                 rngs: nnx.Rngs, param_dtype=jnp.float32):
+        self.norm = nnx.LayerNorm(
+            dim, epsilon=eps, use_bias=use_affine, use_scale=use_affine,
+            dtype=jnp.float32, param_dtype=param_dtype, rngs=rngs,
+        )
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return self.norm(x.astype(jnp.float32)).astype(x.dtype)
+
+
+class SwiGLUMlp(nnx.Module):
+    """Packed SwiGLU MLP: Linear(d, 2*r*d) -> SwiGLU -> Linear(r*d, d), no bias
+    (reference mmdit.py:260-264)."""
+
+    def __init__(self, dim: int, mlp_ratio: int, *, rngs: nnx.Rngs, dtype=None, param_dtype=jnp.float32):
+        self.fc_in = _linear(dim, mlp_ratio * dim * 2, use_bias=False,
+                             sharding=("embed", "hidden"), rngs=rngs, dtype=dtype, param_dtype=param_dtype)
+        self.fc_out = _linear(mlp_ratio * dim, dim, use_bias=False,
+                              sharding=("hidden", "embed"), rngs=rngs, dtype=dtype, param_dtype=param_dtype)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return self.fc_out(packed_swiglu(self.fc_in(x)))
+
+
+class DiTAttention(nnx.Module):
+    """Self-attention with QKNorm + N-D RoPE (reference mmdit.py:29-104)."""
+
+    def __init__(self, inner_dim: int, num_heads: int, rope_axes_dim: Sequence[int],
+                 *, rngs: nnx.Rngs, dtype=None, param_dtype=jnp.float32):
+        self.num_heads = num_heads
+        self.head_dim = inner_dim // num_heads
+        self.scale = self.head_dim**-0.5
+        self.rotary_dim = int(sum(rope_axes_dim))
+        self.qkv = _linear(inner_dim, 3 * inner_dim, use_bias=False,
+                           sharding=("embed", "hidden"), rngs=rngs, dtype=dtype, param_dtype=param_dtype)
+        self.qk_norm = QKNorm(inner_dim, rngs=rngs, param_dtype=param_dtype)
+        self.proj_out = _linear(inner_dim, inner_dim, use_bias=False,
+                                sharding=("hidden", "embed"), rngs=rngs, dtype=dtype, param_dtype=param_dtype)
+
+    def __call__(self, x: jax.Array, cos_sin_rope, attn_mask: jax.Array | None = None) -> jax.Array:
+        b, s, _ = x.shape
+        q, k, v = jnp.split(self.qkv(x), 3, axis=-1)
+        q, k = self.qk_norm(q, k, v)
+        q = q.reshape(b, s, self.num_heads, self.head_dim)
+        k = k.reshape(b, s, self.num_heads, self.head_dim)
+        v = v.reshape(b, s, self.num_heads, self.head_dim)
+        cos, sin = cos_sin_rope
+        q, k = apply_rope_ndim(q, k, cos, sin, self.rotary_dim)
+        out = dot_product_attention(q, k, v, kv_mask=attn_mask, scale=self.scale)
+        return self.proj_out(out.reshape(b, s, -1))
+
+
+class MMDiTAttention(nnx.Module):
+    """Dual-stream concat attention (reference mmdit.py:107-210).
+
+    Context and image streams have separate qkv/qknorm/out projections; q/k/v
+    are concatenated [context; input] along the sequence, RoPE'd with the
+    3-axis grid, attended jointly, then split back.
+    """
+
+    def __init__(self, inner_dim: int, num_heads: int, rope_axes_dim: Sequence[int],
+                 *, rngs: nnx.Rngs, dtype=None, param_dtype=jnp.float32):
+        self.num_heads = num_heads
+        self.head_dim = inner_dim // num_heads
+        self.scale = self.head_dim**-0.5
+        self.rotary_dim = int(sum(rope_axes_dim))
+        kw = dict(rngs=rngs, dtype=dtype, param_dtype=param_dtype)
+        self.qkv_input = _linear(inner_dim, 3 * inner_dim, use_bias=False, sharding=("embed", "hidden"), **kw)
+        self.qkv_context = _linear(inner_dim, 3 * inner_dim, use_bias=False, sharding=("embed", "hidden"), **kw)
+        self.qk_norm_input = QKNorm(inner_dim, rngs=rngs, param_dtype=param_dtype)
+        self.qk_norm_context = QKNorm(inner_dim, rngs=rngs, param_dtype=param_dtype)
+        self.input_proj_out = _linear(inner_dim, inner_dim, use_bias=False, sharding=("hidden", "embed"), **kw)
+        self.context_proj_out = _linear(inner_dim, inner_dim, use_bias=False, sharding=("hidden", "embed"), **kw)
+
+    def __call__(
+        self, x: jax.Array, context: jax.Array, cos_sin_rope,
+        attn_mask: jax.Array | None = None,
+    ) -> tuple[jax.Array, jax.Array]:
+        b, s_img, _ = x.shape
+        s_ctx = context.shape[1]
+        iq, ik, iv = jnp.split(self.qkv_input(x), 3, axis=-1)
+        cq, ck, cv = jnp.split(self.qkv_context(context), 3, axis=-1)
+        iq, ik = self.qk_norm_input(iq, ik, iv)
+        cq, ck = self.qk_norm_context(cq, ck, cv)
+
+        def heads(t):
+            return t.reshape(b, t.shape[1], self.num_heads, self.head_dim)
+
+        q = heads(jnp.concatenate([cq, iq], axis=1))
+        k = heads(jnp.concatenate([ck, ik], axis=1))
+        v = heads(jnp.concatenate([cv, iv], axis=1))
+        cos, sin = cos_sin_rope
+        q, k = apply_rope_ndim(q, k, cos, sin, self.rotary_dim)
+
+        kv_mask = None
+        if attn_mask is not None:
+            kv_mask = jnp.concatenate(
+                [attn_mask.astype(bool), jnp.ones((b, s_img), dtype=bool)], axis=1
+            )
+        out = dot_product_attention(q, k, v, kv_mask=kv_mask, scale=self.scale)
+        out = out.reshape(b, s_ctx + s_img, -1)
+        return self.input_proj_out(out[:, s_ctx:]), self.context_proj_out(out[:, :s_ctx])
+
+
+class DiTBlock(nnx.Module):
+    """adaLN-zero DiT block: 6-param modulation around attention + SwiGLU MLP
+    (reference mmdit.py:213-309)."""
+
+    def __init__(self, inner_dim: int, embedding_dim: int, num_heads: int, mlp_ratio: int,
+                 rope_axes_dim: Sequence[int], *, rngs: nnx.Rngs, dtype=None, param_dtype=jnp.float32):
+        self.modulation = Modulation(embedding_dim, inner_dim, rngs=rngs, dtype=dtype, param_dtype=param_dtype)
+        self.norm_1 = LayerNormFP32(inner_dim, rngs=rngs, param_dtype=param_dtype)
+        self.attention = DiTAttention(inner_dim, num_heads, rope_axes_dim, rngs=rngs, dtype=dtype, param_dtype=param_dtype)
+        self.norm_2 = LayerNormFP32(inner_dim, rngs=rngs, param_dtype=param_dtype)
+        self.mlp_input = SwiGLUMlp(inner_dim, mlp_ratio, rngs=rngs, dtype=dtype, param_dtype=param_dtype)
+
+    def __call__(self, x: jax.Array, y: jax.Array, cos_sin_rope, attn_mask=None) -> jax.Array:
+        mod = self.modulation(y)
+        x = x + self.attention(
+            modulate(self.norm_1(x), scale=mod.alpha, shift=mod.beta),
+            cos_sin_rope=cos_sin_rope, attn_mask=attn_mask,
+        ) * mod.gamma
+        x = x + self.mlp_input(modulate(self.norm_2(x), scale=mod.delta, shift=mod.epsilon)) * mod.zeta
+        return x
+
+
+class MMDiTBlock(nnx.Module):
+    """Dual-stream MMDiT block with per-stream modulation/norm/MLP
+    (reference mmdit.py:312-459)."""
+
+    def __init__(self, inner_dim: int, embedding_dim: int, num_heads: int, mlp_ratio: int,
+                 rope_axes_dim: Sequence[int], *, rngs: nnx.Rngs, dtype=None, param_dtype=jnp.float32):
+        kw = dict(rngs=rngs, dtype=dtype, param_dtype=param_dtype)
+        self.modulation_context = Modulation(embedding_dim, inner_dim, **kw)
+        self.modulation_input = Modulation(embedding_dim, inner_dim, **kw)
+        self.context_norm_1 = LayerNormFP32(inner_dim, rngs=rngs, param_dtype=param_dtype)
+        self.input_norm_1 = LayerNormFP32(inner_dim, rngs=rngs, param_dtype=param_dtype)
+        self.attention = MMDiTAttention(inner_dim, num_heads, rope_axes_dim, **kw)
+        self.context_norm_2 = LayerNormFP32(inner_dim, rngs=rngs, param_dtype=param_dtype)
+        self.input_norm_2 = LayerNormFP32(inner_dim, rngs=rngs, param_dtype=param_dtype)
+        self.mlp_context = SwiGLUMlp(inner_dim, mlp_ratio, **kw)
+        self.mlp_input = SwiGLUMlp(inner_dim, mlp_ratio, **kw)
+
+    def __call__(self, x, y, context, cos_sin_rope, attn_mask=None):
+        mod_i = self.modulation_input(y)
+        mod_c = self.modulation_context(y)
+
+        mi = modulate(self.input_norm_1(x), scale=mod_i.alpha, shift=mod_i.beta)
+        mc = modulate(self.context_norm_1(context), scale=mod_c.alpha, shift=mod_c.beta)
+        mi, mc = self.attention(mi, mc, cos_sin_rope=cos_sin_rope, attn_mask=attn_mask)
+        x = x + mi * mod_i.gamma
+        context = context + mc * mod_c.gamma
+
+        x = x + self.mlp_input(modulate(self.input_norm_2(x), scale=mod_i.delta, shift=mod_i.epsilon)) * mod_i.zeta
+        context = context + self.mlp_context(
+            modulate(self.context_norm_2(context), scale=mod_c.delta, shift=mod_c.epsilon)
+        ) * mod_c.zeta
+        return x, context
+
+
+class MMDiTSingleStreamBlock(nnx.Module):
+    """Flux-style fused single-stream block: 3-param modulation, parallel
+    attention + MLP on the concatenated [context; input] stream
+    (reference mmdit.py:462-532)."""
+
+    def __init__(self, inner_dim: int, embedding_dim: int, num_heads: int, mlp_ratio: int,
+                 rope_axes_dim: Sequence[int], *, rngs: nnx.Rngs, dtype=None, param_dtype=jnp.float32):
+        kw = dict(rngs=rngs, dtype=dtype, param_dtype=param_dtype)
+        self.mlp = SwiGLUMlp(inner_dim, mlp_ratio, **kw)
+        self.attention = DiTAttention(inner_dim, num_heads, rope_axes_dim, **kw)
+        self.modulation = Modulation(embedding_dim, inner_dim, n_chunks=3, **kw)
+        self.norm = LayerNormFP32(inner_dim, rngs=rngs, param_dtype=param_dtype)
+
+    def __call__(self, x, y, context, cos_sin_rope, attn_mask=None):
+        b = x.shape[0]
+        s_ctx = context.shape[1]
+        latents = jnp.concatenate([context, x], axis=1)
+        kv_mask = None
+        if attn_mask is not None:
+            kv_mask = jnp.concatenate(
+                [attn_mask.astype(bool), jnp.ones((b, x.shape[1]), dtype=bool)], axis=1
+            )
+        alpha, beta, gamma = self.modulation(y)
+        modulated = modulate(self.norm(latents), scale=alpha, shift=beta)
+        latents = latents + (
+            self.attention(modulated, cos_sin_rope=cos_sin_rope, attn_mask=kv_mask)
+            + self.mlp(modulated)
+        ) * gamma
+        return latents[:, s_ctx:], latents[:, :s_ctx]
+
+
+class ModulatedLastLayer(nnx.Module):
+    """adaLN-zero final projection to patch*patch*C_out (reference mmdit.py:535-549)."""
+
+    def __init__(self, embedding_dim: int, hidden_size: int, patch_size: int, out_channels: int,
+                 *, rngs: nnx.Rngs, dtype=None, param_dtype=jnp.float32):
+        self.norm_final = LayerNormFP32(hidden_size, use_affine=False, eps=1e-6, rngs=rngs, param_dtype=param_dtype)
+        self.linear = _linear(hidden_size, patch_size * patch_size * out_channels,
+                              rngs=rngs, dtype=dtype, param_dtype=param_dtype)
+        self.adaLN_modulation = Modulation(embedding_dim, hidden_size, n_chunks=2,
+                                           rngs=rngs, dtype=dtype, param_dtype=param_dtype)
+
+    def __call__(self, x: jax.Array, vec: jax.Array) -> jax.Array:
+        alpha, beta = self.adaLN_modulation(vec)
+        x = modulate(self.norm_final(x), scale=alpha, shift=beta)
+        return self.linear(x)
+
+
+class TimeEmbedMlp(nnx.Module):
+    """Linear -> SiLU -> Linear time-embedding MLP (reference mmdit.py:691-695)."""
+
+    def __init__(self, in_dim: int, dim: int, *, rngs: nnx.Rngs, dtype=None, param_dtype=jnp.float32):
+        self.fc1 = _linear(in_dim, dim, rngs=rngs, dtype=dtype, param_dtype=param_dtype)
+        self.fc2 = _linear(dim, dim, rngs=rngs, dtype=dtype, param_dtype=param_dtype)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return self.fc2(jax.nn.silu(self.fc1(x)))
+
+
+class PooledContextMlp(nnx.Module):
+    """Linear -> SiLU -> Linear pooled-context MLP (reference mmdit.py:653-657)."""
+
+    def __init__(self, in_dim: int, dim: int, *, rngs: nnx.Rngs, dtype=None, param_dtype=jnp.float32):
+        self.fc1 = _linear(in_dim, dim * 2, rngs=rngs, dtype=dtype, param_dtype=param_dtype)
+        self.fc2 = _linear(dim * 2, dim, rngs=rngs, dtype=dtype, param_dtype=param_dtype)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return self.fc2(jax.nn.silu(self.fc1(x)))
+
+
+def _block_remat(layer, *args):
+    return layer(*args)
+
+
+_block_remat_ckpt = nnx.remat(_block_remat)
+
+
+class MMDiT(Denoiser):
+    """DiT/MMDiT top-level model (reference mmdit.py:552-928).
+
+    simple_dit=True  -> class-conditional single-stream DiT (2-axis RoPE).
+    simple_dit=False -> multimodal MMDiT over [context; image] (3-axis RoPE),
+    with ``n_single_stream_blocks`` trailing Flux-style fused blocks.
+    """
+
+    def __init__(
+        self,
+        simple_dit: bool = False,
+        input_channels: int = 3,
+        output_channels: int | None = None,
+        inner_dim: int = 4096,
+        embedding_dim: int = 4096,
+        num_heads: int = 16,
+        mlp_ratio: int = 4,
+        patch_size: int = 16,
+        depth: int = 38,
+        n_single_stream_blocks: int = 0,
+        rope_base: int = 10_000,
+        partial_rotary_factor: float = 1.0,
+        rope_axes_dim: Sequence[int] | None = None,
+        frequency_embedding: int = 256,
+        n_classes: int | None = None,
+        classifier_free: bool = False,
+        context_embedder: ContextEmbedder | None = None,
+        use_checkpoint: bool = False,
+        feature_layers: Sequence[int] = (),
+        *,
+        rngs: nnx.Rngs,
+        dtype=None,
+        param_dtype=jnp.float32,
+    ):
+        assert not (n_classes is not None and context_embedder is not None), (
+            "n_classes and context_embedder cannot both be specified"
+        )
+        self.simple_dit = simple_dit
+        self.patch_size = patch_size
+        self.input_channels = input_channels
+        self.output_channels = output_channels or input_channels
+        self.context_embedder = context_embedder
+        self.frequency_embedding = frequency_embedding
+        self.rope_base = rope_base
+        self.n_classes = n_classes
+        self.classifier_free = classifier_free
+        self.use_checkpoint = use_checkpoint
+        self.feature_layers = tuple(feature_layers)
+        self.inner_dim = inner_dim
+
+        kw = dict(rngs=rngs, dtype=dtype, param_dtype=param_dtype)
+        heads_dim = inner_dim // num_heads
+        # (nnx pytree attributes are data/static-typed at first assignment, so
+        # each optional submodule is assigned exactly once)
+        pooled = False
+        mlp_pooled: PooledContextMlp | None = None
+        label_embed: LabelEmbed | None = None
+        context_embed: nnx.Linear | None = None
+        if not simple_dit:
+            assert context_embedder is not None, "for MMDiT a context embedder must be provided"
+            if context_embedder.n_output == 2:
+                pooled = True
+                mlp_pooled = PooledContextMlp(context_embedder.output_size[0], embedding_dim, **kw)
+                context_embed = _linear(context_embedder.output_size[1], inner_dim, use_bias=False, **kw)
+            else:
+                assert context_embedder.n_output == 1
+                context_embed = _linear(context_embedder.output_size[0], inner_dim, use_bias=False, **kw)
+            if rope_axes_dim is None:
+                d3 = int((partial_rotary_factor * heads_dim) // 3)
+                d3 -= d3 % 2  # each axis dim must be even
+                rope_axes_dim = [d3, d3, d3]  # (L text, H, W)
+        else:
+            if n_classes is not None:
+                label_embed = LabelEmbed(n_classes, embedding_dim, classifier_free,
+                                         rngs=rngs, dtype=dtype, param_dtype=param_dtype)
+            if rope_axes_dim is None:
+                d2 = int((partial_rotary_factor * heads_dim) // 2)
+                d2 -= d2 % 2
+                rope_axes_dim = [d2, d2]  # (H, W)
+            # In simple mode every block is already a single-stream DiT block
+            # (the reference instead swaps in context-taking MMDiTSingleStreamBlocks
+            # whose signature its own simple forward cannot call — dead path,
+            # mmdit.py:678-682 vs :891)
+            n_single_stream_blocks = 0
+        self.pooled_embedding = pooled
+        self.mlp_pooled_context = nnx.data(mlp_pooled)
+        self.label_embed = nnx.data(label_embed)
+        self.context_embed = nnx.data(context_embed)
+
+        self.rope_axes_dim = list(rope_axes_dim)
+        self.last_layer = ModulatedLastLayer(embedding_dim, inner_dim, patch_size,
+                                             self.output_channels, **kw)
+        self.time_embed = TimeEmbedMlp(frequency_embedding, embedding_dim, **kw)
+        self.conv_proj = nnx.Conv(
+            self.input_channels, inner_dim, (patch_size, patch_size),
+            strides=(patch_size, patch_size), use_bias=False, padding="VALID",
+            kernel_init=_xavier(), dtype=dtype, param_dtype=param_dtype, rngs=rngs,
+        )
+
+        n_dual = depth - n_single_stream_blocks
+        block_cls = DiTBlock if simple_dit else MMDiTBlock
+        self.layers = nnx.List(
+            [
+                block_cls(inner_dim, embedding_dim, num_heads, mlp_ratio, self.rope_axes_dim, **kw)
+                for _ in range(n_dual)
+            ]
+            + [
+                MMDiTSingleStreamBlock(inner_dim, embedding_dim, num_heads, mlp_ratio,
+                                       self.rope_axes_dim, **kw)
+                for _ in range(n_single_stream_blocks)
+            ]
+        )
+
+    # --- patch ops ---------------------------------------------------------
+    def patchify(self, x: jax.Array) -> tuple[jax.Array, tuple[int, int]]:
+        """NHWC image -> [B, Hp*Wp, inner_dim]; returns the token grid size."""
+        x = self.conv_proj(x)
+        b, hp, wp, c = x.shape
+        return x.reshape(b, hp * wp, c), (hp, wp)
+
+    def unpatchify(self, x: jax.Array, grid_size: tuple[int, int]) -> jax.Array:
+        hp, wp = grid_size
+        p = self.patch_size
+        b = x.shape[0]
+        x = x.reshape(b, hp, wp, p, p, self.output_channels)
+        x = jnp.einsum("bhwpqc->bhpwqc", x)
+        return x.reshape(b, hp * p, wp * p, self.output_channels)
+
+    # --- position ids -------------------------------------------------------
+    def _image_pos_ids(self, batch: int, grid_size: tuple[int, int], n_axes: int) -> jax.Array:
+        hp, wp = grid_size
+        hh, ww = jnp.meshgrid(jnp.arange(hp), jnp.arange(wp), indexing="ij")
+        axes = [hh.reshape(-1), ww.reshape(-1)]
+        if n_axes == 3:
+            axes = [jnp.zeros((hp * wp,), jnp.int32)] + axes  # text axis = 0 for image
+        pos = jnp.stack(axes, axis=-1)
+        return jnp.broadcast_to(pos[None], (batch, hp * wp, n_axes))
+
+    def _text_pos_ids(self, batch: int, seq_len: int) -> jax.Array:
+        zeros = jnp.zeros((seq_len,), jnp.int32)
+        pos = jnp.stack([jnp.arange(1, seq_len + 1), zeros, zeros], axis=-1)  # (l, 0, 0)
+        return jnp.broadcast_to(pos[None], (batch, seq_len, 3))
+
+    def _run_block(self, layer, *args):
+        if self.use_checkpoint:
+            return _block_remat_ckpt(layer, *args)
+        return _block_remat(layer, *args)
+
+    # --- forward paths -------------------------------------------------------
+    def _mmdit_forward(self, x, grid_size, timesteps, context_raw, drop, capture_features):
+        assert self.context_embedder is not None
+        b = x.shape[0]
+        emb = self.time_embed(timestep_embedding(timesteps, self.frequency_embedding).astype(x.dtype))
+        context_output = self.context_embedder(context_raw, drop)
+        if self.pooled_embedding:
+            assert "pooled_embeddings" in context_output, "pooled embeddings required"
+            emb = self.mlp_pooled_context(context_output["pooled_embeddings"].astype(x.dtype)) + emb
+
+        context = self.context_embed(context_output["embeddings"].astype(x.dtype))
+        attn_mask = context_output.get("attn_mask")
+
+        pos_ids = jnp.concatenate(
+            [self._text_pos_ids(b, context.shape[1]), self._image_pos_ids(b, grid_size, 3)],
+            axis=1,
+        )
+        cos_sin = get_cos_sin_ndim_grid(pos_ids, self.rope_base, self.rope_axes_dim)
+
+        features: list[jax.Array] = []
+        for i, layer in enumerate(self.layers):
+            x, context = self._run_block(layer, x, emb, context, cos_sin, attn_mask)
+            if capture_features and i in self.feature_layers:
+                features.append(x)
+        x = self.last_layer(x, emb)
+        out: ModelOutput = {"x": x}
+        if capture_features:
+            out["features"] = features
+        return out
+
+    def _simple_dit_forward(self, x, grid_size, timesteps, y, drop, capture_features):
+        b = x.shape[0]
+        emb = self.time_embed(timestep_embedding(timesteps, self.frequency_embedding).astype(x.dtype))
+        if self.label_embed is not None:
+            assert y is not None, "class labels y required for label-conditional DiT"
+            emb = emb + self.label_embed(y, drop if self.classifier_free else None)
+
+        pos_ids = self._image_pos_ids(b, grid_size, 2)
+        cos_sin = get_cos_sin_ndim_grid(pos_ids, self.rope_base, self.rope_axes_dim)
+
+        features: list[jax.Array] = []
+        for i, layer in enumerate(self.layers):
+            x = self._run_block(layer, x, emb, cos_sin, None)
+            if capture_features and i in self.feature_layers:
+                features.append(x)
+        x = self.last_layer(x, emb)
+        out: ModelOutput = {"x": x}
+        if capture_features:
+            out["features"] = features
+        return out
+
+    def __call__(
+        self,
+        x: jax.Array,
+        timesteps: jax.Array,
+        cond: dict[str, Any] | None = None,
+        drop: jax.Array | None = None,
+        train: bool = False,
+        rngs: nnx.Rngs | None = None,
+        capture_features: bool = False,
+    ) -> ModelOutput:
+        del train, rngs
+        cond = cond or {}
+        y = cond.get("y")
+        context_raw = cond.get("context")
+        x_context = cond.get("x_context")
+        assert not (context_raw is not None and y is not None), (
+            "context and y cannot both be specified"
+        )
+        if x_context is not None:
+            x = jnp.concatenate([x, x_context], axis=-1)  # NHWC channel concat
+
+        tokens, grid_size = self.patchify(x)
+        if self.simple_dit:
+            out = self._simple_dit_forward(tokens, grid_size, timesteps, y, drop, capture_features)
+        else:
+            out = self._mmdit_forward(tokens, grid_size, timesteps, context_raw, drop, capture_features)
+        out["x"] = self.unpatchify(out["x"], grid_size)
+        return out

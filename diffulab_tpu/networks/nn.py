@@ -177,7 +177,7 @@ class RMSNorm(nnx.Module):
         x_dtype = x.dtype
         xf = x.astype(jnp.float32)
         rrms = jax.lax.rsqrt(jnp.mean(xf**2, axis=-1, keepdims=True) + 1e-6)
-        return (xf * rrms).astype(x_dtype) * self.scale.value.astype(x_dtype)
+        return (xf * rrms).astype(x_dtype) * self.scale[...].astype(x_dtype)
 
 
 class QKNorm(nnx.Module):
@@ -331,7 +331,7 @@ class TimestepEmbedder(nnx.Module):
 
     def __call__(self, timesteps: jax.Array) -> jax.Array:
         emb = timestep_embedding(timesteps, self.frequency_dim)
-        emb = emb.astype(self.fc1.kernel.value.dtype)
+        emb = emb.astype(self.fc1.kernel[...].dtype)
         return self.fc2(jax.nn.silu(self.fc1(emb)))
 
 
