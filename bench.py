@@ -1,0 +1,123 @@
+"""Benchmark: DiT-B/2 flow-matching training + 50-step Euler sampling on one chip.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+The operative baseline (BASELINE.md) is measured, not quoted: the reference
+publishes no numbers. ``vs_baseline`` is therefore null until a like-for-like
+reference measurement exists on identical hardware.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import nnx
+
+from diffulab_tpu.diffuse import Diffuser
+from diffulab_tpu.networks.denoisers.mmdit import MMDiT
+
+BATCH = 64
+LATENT = (32, 32, 4)  # ImageNet-256 with f8 VAE / DC-AE-ish latent grid
+SAMPLE_BATCH = 16
+SAMPLE_STEPS = 50
+
+
+def build():
+    model = MMDiT(
+        simple_dit=True, input_channels=4, inner_dim=768, embedding_dim=768,
+        num_heads=12, mlp_ratio=4, patch_size=2, depth=12, n_classes=1000,
+        classifier_free=True, dtype=jnp.bfloat16, rngs=nnx.Rngs(0),
+    )
+    diffuser = Diffuser(model, sampling_method="euler", model_type="rectified_flow",
+                        n_steps=SAMPLE_STEPS, extra_args={"logits_normal": True})
+    return model, diffuser
+
+
+def bench_train(model, diffuser, n_iters=30):
+    diffusion = diffuser.diffusion
+    optimizer = optax.adamw(1e-4)
+    graphdef, params, rest = nnx.split(model, nnx.Param, ...)
+    opt_state = optimizer.init(params)
+
+    x0 = jnp.zeros((BATCH, *LATENT), jnp.bfloat16)
+    y = jnp.zeros((BATCH,), jnp.int32)
+
+    @jax.jit
+    def train_step(params, opt_state, rng):
+        def loss_fn(params):
+            m = nnx.merge(graphdef, params, rest)
+            t_rng, n_rng, d_rng = jax.random.split(rng, 3)
+            t = diffusion.draw_timesteps(t_rng, BATCH)
+            noise = jax.random.normal(n_rng, x0.shape, dtype=x0.dtype)
+            drop = jax.random.uniform(d_rng, (BATCH,)) < 0.1
+            return diffusion.compute_loss(
+                lambda **kw: m(**kw, train=True), x0, {"y": y}, t, noise, drop=drop
+            )["loss"]
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    rng = jax.random.key(0)
+    params, opt_state, loss = train_step(params, opt_state, rng)  # compile
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        params, opt_state, loss = train_step(params, opt_state, jax.random.fold_in(rng, i))
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / n_iters
+    return BATCH / dt, dt
+
+
+def bench_sample(model, diffuser, n_iters=5):
+    graphdef, state = nnx.split(model)
+    diffusion = diffuser.diffusion
+    y = jnp.zeros((SAMPLE_BATCH,), jnp.int32)
+
+    @jax.jit
+    def sample(state, rng):
+        m = nnx.merge(graphdef, state)
+        return diffusion.denoise(
+            lambda **kw: m(**kw), {"y": y}, rng,
+            data_shape=(SAMPLE_BATCH, *LATENT), guidance_scale=4.0, use_cfg=True,
+            dtype=jnp.bfloat16,
+        )["x"]
+
+    out = sample(state, jax.random.key(0))
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        out = sample(state, jax.random.key(i))
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n_iters
+    return SAMPLE_BATCH / dt, dt
+
+
+def main():
+    model, diffuser = build()
+    train_sps, train_dt = bench_train(model, diffuser)
+    sample_ips, sample_dt = bench_sample(model, diffuser)
+    print(json.dumps({
+        "metric": "dit_b2_train_samples_per_sec_per_chip",
+        "value": round(train_sps, 2),
+        "unit": "samples/s/chip",
+        "vs_baseline": None,
+        "extras": {
+            "train_step_ms": round(train_dt * 1e3, 2),
+            "train_batch": BATCH,
+            "euler50_imgs_per_sec": round(sample_ips, 2),
+            "euler50_batch_time_ms": round(sample_dt * 1e3, 2),
+            "sample_batch": SAMPLE_BATCH,
+            "device": str(jax.devices()[0]),
+            "model": "DiT-B/2 class-cond, 32x32x4 latents, bf16, CFG-fused sampling",
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -252,7 +252,8 @@ class Flow:
             ys = None
             if return_intermediates:
                 ys = {k: step[k] for k in step}
-            return (step["x_prev"], step_rng), ys
+            # keep the carry dtype stable (fp32 schedule scalars promote bf16 x)
+            return (step["x_prev"].astype(x_t.dtype), step_rng), ys
 
         (x_final, _), ys = jax.lax.scan(body, (x, rng), t_pairs)
         if clamp_x:

@@ -234,7 +234,8 @@ class GaussianDiffusion:
                 rng=use_rng,
             )
             ys = {k: step[k] for k in step} if return_intermediates else None
-            return (step["x_prev"], step_rng), ys
+            # keep the carry dtype stable (fp32 table scalars promote bf16 x)
+            return (step["x_prev"].astype(x_t.dtype), step_rng), ys
 
         (x_final, _), ys = jax.lax.scan(body, (x, rng), t_indices)
 

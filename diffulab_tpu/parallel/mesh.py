@@ -1,0 +1,69 @@
+"""Device mesh construction (replaces the reference's out-of-band
+``accelerate config``, SURVEY.md §2.1/§5.8).
+
+The mesh has three axes:
+- ``data``: pure data parallelism (DDP parity with the reference);
+- ``fsdp``: parameter sharding along the "embed" logical axis (ZeRO-ish);
+  batches are sharded over (data, fsdp) jointly;
+- ``tensor``: Megatron-style tensor parallelism along the "hidden" logical
+  axis (qkv/mlp columns, proj rows) — XLA inserts the all-reduces over ICI.
+
+Single-chip and CPU-test configurations collapse to a 1x1x1 mesh transparently.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Mesh axis sizes. ``data=-1`` absorbs all remaining devices."""
+
+    data: int = -1
+    fsdp: int = 1
+    tensor: int = 1
+
+    def resolve(self, n_devices: int | None = None) -> tuple[int, int, int]:
+        n = n_devices if n_devices is not None else jax.device_count()
+        fsdp, tensor = self.fsdp, self.tensor
+        data = self.data
+        if data == -1:
+            assert n % (fsdp * tensor) == 0, (
+                f"device count {n} not divisible by fsdp*tensor={fsdp * tensor}"
+            )
+            data = n // (fsdp * tensor)
+        assert data * fsdp * tensor == n, (
+            f"mesh {data}x{fsdp}x{tensor} != device count {n}"
+        )
+        return data, fsdp, tensor
+
+
+AXIS_NAMES = ("data", "fsdp", "tensor")
+
+
+def make_mesh(config: MeshConfig | None = None, devices=None) -> Mesh:
+    config = config or MeshConfig()
+    devices = devices if devices is not None else jax.devices()
+    data, fsdp, tensor = config.resolve(len(devices))
+    dev_array = np.asarray(devices).reshape(data, fsdp, tensor)
+    return Mesh(dev_array, AXIS_NAMES)
+
+
+def initialize_distributed() -> None:
+    """Multi-host bring-up: `jax.distributed.initialize()` (idempotent no-op on
+    a single host). The reference's analog is Accelerate's process-group init
+    (trainers/common.py:103-109)."""
+    try:
+        jax.distributed.initialize()
+    except (ValueError, RuntimeError):
+        pass  # single-process / already initialized
+
+
+def is_main_process() -> bool:
+    """Host-0 gating (replaces accelerator.is_main_process)."""
+    return jax.process_index() == 0

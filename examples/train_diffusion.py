@@ -1,0 +1,105 @@
+"""Supervised diffusion training entry point
+(parity: reference examples/train_diffusion.py:11-81).
+
+Usage:
+    python examples/train_diffusion.py --config-name train_mnist_flow_matching \
+        trainer.n_epoch=5 dataloader.batch_size=64
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))  # allow running without install
+
+import jax
+import yaml
+from flax import nnx
+
+from diffulab_tpu.config import compose_config, instantiate
+from diffulab_tpu.data.loader import DataLoader
+from diffulab_tpu.diffuse import Diffuser
+from diffulab_tpu.training.trainer import BaseTrainer
+
+CONFIG_DIR = Path(__file__).parent.parent / "configs"
+
+
+def count_parameters(model) -> int:
+    return sum(
+        leaf.size for leaf in jax.tree.leaves(nnx.state(model, nnx.Param))
+    )
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config-name", default="train_mnist_flow_matching")
+    parser.add_argument("--config-dir", default=str(CONFIG_DIR))
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("overrides", nargs="*", help="dotlist overrides key=value")
+    args = parser.parse_args()
+
+    cfg = compose_config(args.config_dir, args.config_name, args.overrides)
+    print(yaml.safe_dump(cfg, sort_keys=False))
+
+    train_dataset = instantiate(cfg["dataset"]["train"])
+    val_dataset = instantiate(cfg["dataset"]["val"])
+
+    dl_cfg = cfg.get("dataloader", {})
+    train_loader = DataLoader(
+        train_dataset,
+        batch_size=dl_cfg.get("batch_size", 32),
+        shuffle=dl_cfg.get("shuffle", True),
+        prefetch=dl_cfg.get("prefetch", 2),
+        seed=args.seed,
+    )
+    val_loader = DataLoader(
+        val_dataset,
+        batch_size=dl_cfg.get("batch_size", 32),
+        shuffle=False,
+        prefetch=dl_cfg.get("prefetch", 2),
+    )
+
+    denoiser = instantiate(cfg["model"], rngs=nnx.Rngs(args.seed))
+    print(f"Number of trainable parameters: {count_parameters(denoiser):,}")
+
+    diffuser = Diffuser(
+        denoiser=denoiser,
+        model_type=cfg["diffuser"]["model_type"],
+        n_steps=cfg["diffuser"]["n_steps"],
+        sampling_method=cfg["diffuser"]["sampling_method"],
+        extra_args=cfg["diffuser"].get("extra_args", {}),
+    )
+
+    optimizer = instantiate(cfg["optimizer"])
+
+    trainer_cfg = cfg["trainer"]
+    trainer = BaseTrainer(
+        n_epoch=trainer_cfg["n_epoch"],
+        gradient_accumulation_step=trainer_cfg.get("gradient_accumulation_step", 1),
+        precision_type=trainer_cfg.get("precision_type", "no"),
+        project_name=trainer_cfg.get("project_name", "diffulab"),
+        save_path=trainer_cfg.get("save_path"),
+        use_ema=trainer_cfg.get("use_ema", False),
+        ema_update_after_step=trainer_cfg.get("ema_update_after_step", 0),
+        ema_update_every=trainer_cfg.get("ema_update_every", 10),
+        run_config=cfg,
+        compile=trainer_cfg.get("compile", False),
+        mesh=trainer_cfg.get("mesh"),
+        init_kwargs={"wandb": trainer_cfg.get("wandb", {})},
+    )
+
+    trainer.train(
+        diffuser=diffuser,
+        optimizer=optimizer,
+        train_dataloader=train_loader,
+        val_dataloader=val_loader,
+        log_validation_images=trainer_cfg.get("log_validation_images", True),
+        val_steps=trainer_cfg.get("val_steps", 50),
+        seed=args.seed,
+    )
+
+
+if __name__ == "__main__":
+    main()

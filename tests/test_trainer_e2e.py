@@ -1,0 +1,101 @@
+"""End-to-end smoke: tiny DiT + Flow + BaseTrainer on synthetic data
+(SURVEY.md §4: one optimizer step decreases loss; sampler output finite)."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from diffulab_tpu.data.loader import DataLoader
+from diffulab_tpu.diffuse import Diffuser
+from diffulab_tpu.networks.denoisers.mmdit import MMDiT
+from diffulab_tpu.training.optim import adamw
+from diffulab_tpu.training.trainer import BaseTrainer
+
+
+class SyntheticDataset:
+    """Tiny class-conditional blobs: class k -> constant image of value k/5 - 1."""
+
+    def __init__(self, n=64, size=8, channels=3, n_classes=5, seed=0):
+        rng = np.random.default_rng(seed)
+        self.labels = rng.integers(0, n_classes, size=n)
+        base = (self.labels / (n_classes - 1) * 2 - 1).astype(np.float32)
+        self.images = np.tile(base[:, None, None, None], (1, size, size, channels))
+        self.images += rng.normal(0, 0.05, self.images.shape).astype(np.float32)
+
+    def __len__(self):
+        return len(self.images)
+
+    def __getitem__(self, idx):
+        return {"model_inputs": {"x": self.images[idx], "y": np.int64(self.labels[idx])}}
+
+
+def _tiny_diffuser():
+    model = MMDiT(
+        simple_dit=True, input_channels=3, inner_dim=32, embedding_dim=32,
+        num_heads=2, mlp_ratio=2, patch_size=2, depth=2, n_classes=5,
+        classifier_free=True, rngs=nnx.Rngs(0),
+    )
+    return Diffuser(model, sampling_method="euler", model_type="rectified_flow", n_steps=8)
+
+
+def test_train_loop_decreases_loss(tmp_path):
+    diffuser = _tiny_diffuser()
+    ds = SyntheticDataset()
+    train_dl = DataLoader(ds, batch_size=16, shuffle=True, prefetch=0)
+    val_dl = DataLoader(SyntheticDataset(n=16, seed=1), batch_size=16, shuffle=False, prefetch=0)
+
+    trainer = BaseTrainer(
+        n_epoch=3, save_path=tmp_path, project_name="smoke", use_ema=True,
+        ema_update_after_step=0, ema_update_every=1,
+    )
+    trainer.train(
+        diffuser, adamw(lr=2e-3), train_dl, val_dl,
+        p_classifier_free_guidance=0.1, val_steps=4, log_validation_images=True, seed=0,
+    )
+
+    metrics_file = tmp_path / "smoke" / "metrics.jsonl"
+    assert metrics_file.exists()
+    rows = [json.loads(line) for line in metrics_file.read_text().splitlines()]
+    train_losses = [r["train/loss"] for r in rows if "train/loss" in r]
+    assert len(train_losses) == 3
+    assert train_losses[-1] < train_losses[0], f"loss did not decrease: {train_losses}"
+
+    # checkpoint written on best val
+    assert (tmp_path / "smoke" / "checkpoints" / "denoiser").exists()
+    # validation image grid written
+    assert any((tmp_path / "smoke" / "images").glob("*.png"))
+
+
+def test_generate_after_training_finite(tmp_path):
+    diffuser = _tiny_diffuser()
+    out = diffuser.generate(
+        jax.random.key(0), cond={"y": jnp.array([0, 1])}, data_shape=(2, 8, 8, 3),
+        guidance_scale=2.0, clamp_x=True,
+    )
+    assert out["x"].shape == (2, 8, 8, 3)
+    assert np.isfinite(np.asarray(out["x"])).all()
+    assert float(jnp.abs(out["x"]).max()) <= 1.0
+
+
+def test_resume_from_checkpoint(tmp_path):
+    diffuser = _tiny_diffuser()
+    ds = SyntheticDataset(n=32)
+    train_dl = DataLoader(ds, batch_size=16, shuffle=True, prefetch=0)
+    val_dl = DataLoader(SyntheticDataset(n=16, seed=1), batch_size=16, shuffle=False, prefetch=0)
+    trainer = BaseTrainer(n_epoch=1, save_path=tmp_path, project_name="ckpt", use_ema=True)
+    trainer.train(diffuser, adamw(lr=1e-3), train_dl, val_dl, log_validation_images=False)
+
+    ckpt = tmp_path / "ckpt" / "checkpoints"
+    diffuser2 = _tiny_diffuser()
+    trainer2 = BaseTrainer(n_epoch=1, save_path=tmp_path, project_name="ckpt2", use_ema=True)
+    trainer2.train(
+        diffuser2, adamw(lr=1e-3), train_dl, val_dl,
+        denoiser_ckpt=str(ckpt / "denoiser"),
+        optimizer_ckpt=str(ckpt / "optimizer"),
+        ema_ckpt=str(ckpt / "ema"),
+        log_validation_images=False,
+    )
+    assert (tmp_path / "ckpt2" / "checkpoints" / "denoiser").exists()
