@@ -85,7 +85,7 @@ class ResBlock(nnx.Module):
         emb_out_dim = 2 * self.out_channels if use_scale_shift_norm else self.out_channels
         self.emb_layer = nnx.Linear(emb_channels, emb_out_dim, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
         self.out_norm = GroupNorm32(32, self.out_channels, rngs=rngs, param_dtype=param_dtype)
-        self.dropout = nnx.Dropout(dropout, rngs=rngs)
+        self.dropout = nnx.Dropout(dropout)
         self.out_conv = zero_conv(self.out_channels, self.out_channels, (3, 3), **kw)
 
         if self.out_channels == channels:
@@ -95,7 +95,7 @@ class ResBlock(nnx.Module):
         else:
             self.skip = nnx.Conv(channels, self.out_channels, (1, 1), dtype=dtype, param_dtype=param_dtype, rngs=rngs)
 
-    def __call__(self, x: jax.Array, emb: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, emb: jax.Array, train: bool = False, rngs=None) -> jax.Array:
         if self.updown:
             h = jax.nn.silu(self.in_norm(x))
             h = self.h_upd(h)
@@ -112,7 +112,7 @@ class ResBlock(nnx.Module):
         else:
             h = h + emb_out
             h = self.out_norm(h)
-        h = self.out_conv(self.dropout(jax.nn.silu(h), deterministic=not train))
+        h = self.out_conv(self.dropout(jax.nn.silu(h), deterministic=not train, rngs=rngs))
         skip = self.skip(x) if self.skip is not None else x
         return skip + h
 
@@ -149,7 +149,7 @@ class AttentionBlock(nnx.Module):
         self.to_q = nnx.Linear(channels, self.inner_channels, use_bias=q_bias, **kw)
         self.to_kv = nnx.Linear(self.context_channels, self.inner_channels * 2, use_bias=kv_bias, **kw)
         self.to_out = nnx.Linear(self.inner_channels, channels, **kw)
-        self.dropout = nnx.Dropout(dropout, rngs=rngs)
+        self.dropout = nnx.Dropout(dropout)
 
     def __call__(
         self,
@@ -157,6 +157,7 @@ class AttentionBlock(nnx.Module):
         context: jax.Array | None = None,
         attn_mask: jax.Array | None = None,
         train: bool = False,
+        rngs=None,
     ) -> jax.Array:
         b, h_, w_, c = x.shape
         tokens = x.reshape(b, h_ * w_, c)
@@ -171,7 +172,7 @@ class AttentionBlock(nnx.Module):
         v = v.reshape(b, -1, self.num_heads, self.dim_head)
         out = dot_product_attention(q, k, v, kv_mask=attn_mask, scale=self.scale)
         out = self.to_out(out.reshape(b, -1, self.inner_channels))
-        out = self.dropout(out, deterministic=not train)
+        out = self.dropout(out, deterministic=not train, rngs=rngs)
         return (tokens + out).reshape(b, h_, w_, c)
 
 
@@ -184,13 +185,13 @@ class FeedForward(nnx.Module):
         self.norm = GroupNorm32(32, channels, rngs=rngs, param_dtype=param_dtype)
         self.proj_in = nnx.Linear(channels, inner_channels * 2, **kw)
         self.proj_out = nnx.Linear(inner_channels, channels, **kw)
-        self.dropout = nnx.Dropout(dropout, rngs=rngs)
+        self.dropout = nnx.Dropout(dropout)
 
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False, rngs=None) -> jax.Array:
         b, h_, w_, c = x.shape
         tokens = x.reshape(b, h_ * w_, c)
         h = geglu(self.proj_in(self.norm(tokens)))
-        h = self.proj_out(self.dropout(h, deterministic=not train))
+        h = self.proj_out(self.dropout(h, deterministic=not train, rngs=rngs))
         return (tokens + h).reshape(b, h_, w_, c)
 
 
@@ -208,10 +209,10 @@ class TransformerAttentionBlock(nnx.Module):
                                          dropout, q_bias, kv_bias, **kw)
         self.ff = FeedForward(channels, channels * mlp_ratio, dropout, **kw)
 
-    def __call__(self, x, context=None, attn_mask=None, train: bool = False):
-        h = self.self_attn(x, train=train)
-        h = self.cross_attn(h, context=context, attn_mask=attn_mask, train=train)
-        return self.ff(h, train=train)
+    def __call__(self, x, context=None, attn_mask=None, train: bool = False, rngs=None):
+        h = self.self_attn(x, train=train, rngs=rngs)
+        h = self.cross_attn(h, context=context, attn_mask=attn_mask, train=train, rngs=rngs)
+        return self.ff(h, train=train, rngs=rngs)
 
 
 class TransformerBlock(nnx.Module):
@@ -234,11 +235,11 @@ class TransformerBlock(nnx.Module):
         ])
         self.proj_out = nnx.Linear(self.inner_channels, channels, **kw)
 
-    def __call__(self, x, context=None, attn_mask=None, train: bool = False):
+    def __call__(self, x, context=None, attn_mask=None, train: bool = False, rngs=None):
         assert context is not None, "TransformerBlock requires context input"
         h = self.proj_in(self.norm_x(x))
         for block in self.attn_blocks:
-            h = block(h, context=context, attn_mask=attn_mask, train=train)
+            h = block(h, context=context, attn_mask=attn_mask, train=train, rngs=rngs)
         return x + self.proj_out(h)
 
 
@@ -248,12 +249,12 @@ def _parse_channel_mult(channel_mult: str | Sequence[int]) -> list[int]:
     return list(channel_mult)
 
 
-def _apply_block(block, h, emb, context, attn_mask, train):
+def _apply_block(block, h, emb, context, attn_mask, train, rngs=None):
     """Dispatch like the reference's EmbedSequential (unet.py:55-77)."""
     if isinstance(block, ResBlock):
-        return block(h, emb, train=train)
+        return block(h, emb, train=train, rngs=rngs)
     if isinstance(block, (AttentionBlock, TransformerBlock)):
-        return block(h, context=context, attn_mask=attn_mask, train=train)
+        return block(h, context=context, attn_mask=attn_mask, train=train, rngs=rngs)
     return block(h)
 
 
@@ -385,7 +386,7 @@ class UNetModel(Denoiser):
         rngs: nnx.Rngs | None = None,
         capture_features: bool = False,
     ) -> ModelOutput:
-        del rngs, capture_features
+        del capture_features
         cond = cond or {}
         y = cond.get("y")
         context_raw = cond.get("context")
@@ -419,12 +420,12 @@ class UNetModel(Denoiser):
         h = x
         for block_group in self.input_blocks:
             for block in block_group:
-                h = _apply_block(block, h, emb, context, attn_mask, train)
+                h = _apply_block(block, h, emb, context, attn_mask, train, rngs)
             hs.append(h)
         for block in self.middle_block:
-            h = _apply_block(block, h, emb, context, attn_mask, train)
+            h = _apply_block(block, h, emb, context, attn_mask, train, rngs)
         for block_group in self.output_blocks:
             h = jnp.concatenate([h, hs.pop()], axis=-1)
             for block in block_group:
-                h = _apply_block(block, h, emb, context, attn_mask, train)
+                h = _apply_block(block, h, emb, context, attn_mask, train, rngs)
         return {"x": self.out_conv(jax.nn.silu(self.out_norm(h)))}

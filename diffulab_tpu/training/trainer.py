@@ -134,15 +134,18 @@ class BaseTrainer(Trainer):
             x0 = jnp.asarray(model_inputs.pop("x"))
             cond = model_inputs
             bsz = x0.shape[0]
-            t_rng, n_rng, d_rng = jax.random.split(rng, 3)
+            t_rng, n_rng, d_rng, m_rng = jax.random.split(rng, 4)
             timesteps = diffusion.draw_timesteps(t_rng, bsz)
             noise = jax.random.normal(n_rng, x0.shape, dtype=x0.dtype)
             drop = None
             if p_cfg > 0:
                 drop = make_drop_mask(d_rng, p_cfg, bsz)
+            # call-time rng streams for model stochastics (dropout, sprint
+            # token drop) — created inside the trace, so mutation is jit-pure
+            call_rngs = nnx.Rngs(m_rng)
 
             def model_fn(**kw):
-                return modules.denoiser(**kw, train=True)
+                return modules.denoiser(**kw, train=True, rngs=call_rngs)
 
             losses = diffusion.compute_loss(
                 model_fn, x0, cond, timesteps, noise, drop=drop,
