@@ -119,6 +119,7 @@ class BaseTrainer(Trainer):
         diffusion = diffuser.diffusion
         use_ema = self.use_ema
         ema_config = self.ema_config
+        capture = len(diffuser.extra_losses) > 0
 
         def _fold_rng_state(rng_state, step):
             # advance module-held PRNG streams (dropout etc.) once per step
@@ -145,7 +146,8 @@ class BaseTrainer(Trainer):
             call_rngs = nnx.Rngs(m_rng)
 
             def model_fn(**kw):
-                return modules.denoiser(**kw, train=True, rngs=call_rngs)
+                return modules.denoiser(**kw, train=True, rngs=call_rngs,
+                                        capture_features=capture)
 
             losses = diffusion.compute_loss(
                 model_fn, x0, cond, timesteps, noise, drop=drop,
@@ -176,7 +178,7 @@ class BaseTrainer(Trainer):
             noise = jax.random.normal(n_rng, x0.shape, dtype=x0.dtype)
 
             def model_fn(**kw):
-                return modules.denoiser(**kw, train=False)
+                return modules.denoiser(**kw, train=False, capture_features=capture)
 
             return diffusion.compute_loss(
                 model_fn, x0, cond, timesteps, noise,
@@ -267,6 +269,11 @@ class BaseTrainer(Trainer):
             )
         if not getattr(diffuser.denoiser, "classifier_free", False):
             p_classifier_free_guidance = 0.0
+
+        # attach extra losses (e.g. REPA feature-capture registration) BEFORE
+        # splitting, so static attrs like feature_layers are final
+        for loss in diffuser.extra_losses:
+            loss.set_model(diffuser.denoiser)
 
         # --- optimizer wrapping: schedule + gradient accumulation ---------
         if scheduler is not None:

@@ -1,0 +1,141 @@
+"""REPA subsystem tests: perceiver resampler, loss wiring, streaming precompute."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from diffulab_tpu.data.loader import DataLoader
+from diffulab_tpu.data.streaming import ShardedDataset, ShardedDatasetWriter
+from diffulab_tpu.diffuse import Diffuser
+from diffulab_tpu.networks.denoisers.mmdit import MMDiT
+from diffulab_tpu.networks.repa.dinov2 import DinoV2
+from diffulab_tpu.networks.repa.perceiver_resampler import PerceiverResampler
+from diffulab_tpu.training.losses.repa import RepaLoss
+from diffulab_tpu.training.optim import adamw
+from diffulab_tpu.training.trainer import BaseTrainer
+
+
+def test_perceiver_resampler_shapes():
+    rs = PerceiverResampler(dim=32, depth=2, head_dim=8, num_heads=4, num_latents=6, rngs=nnx.Rngs(0))
+    x = jax.random.normal(jax.random.key(0), (2, 16, 32))
+    out = rs(x)
+    assert out.shape == (2, 6, 32)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_repa_loss_with_precomputed_features():
+    model = MMDiT(
+        simple_dit=True, input_channels=3, inner_dim=32, embedding_dim=32, num_heads=2,
+        mlp_ratio=2, patch_size=2, depth=3, n_classes=5, classifier_free=True, rngs=nnx.Rngs(0),
+    )
+    loss = RepaLoss(
+        load_dino=False, alignment_layer=2, denoiser_dimension=32,
+        hidden_dim=64, embedding_dim=48, coeff=0.5, rngs=nnx.Rngs(1),
+    )
+    loss.set_model(model)
+    assert model.feature_layers == (1,)
+
+    x = jax.random.normal(jax.random.key(0), (2, 8, 8, 3))
+    out = model(x, jnp.array([0.3, 0.5]), cond={"y": jnp.array([0, 1])}, capture_features=True)
+    dst = jax.random.normal(jax.random.key(1), (2, 16, 48))
+    value = loss(model_output=out, dst_features=dst)
+    assert np.isfinite(float(value))
+    assert 0.0 <= float(value) <= 1.0  # coeff*(1-cos) with coeff=0.5
+
+
+def test_repa_loss_with_resampler():
+    model = MMDiT(
+        simple_dit=True, input_channels=3, inner_dim=32, embedding_dim=32, num_heads=2,
+        mlp_ratio=2, patch_size=2, depth=2, n_classes=5, classifier_free=True, rngs=nnx.Rngs(0),
+    )
+    loss = RepaLoss(
+        load_dino=False, alignment_layer=1, denoiser_dimension=32, hidden_dim=64,
+        embedding_dim=48, use_resampler=True,
+        resampler_params=dict(dim=48, depth=1, head_dim=8, num_heads=2, num_latents=4),
+        rngs=nnx.Rngs(1),
+    )
+    loss.set_model(model)
+    x = jax.random.normal(jax.random.key(0), (2, 8, 8, 3))
+    out = model(x, jnp.array([0.3, 0.5]), cond={"y": jnp.array([0, 1])}, capture_features=True)
+    dst = jax.random.normal(jax.random.key(1), (2, 4, 48))  # num_latents tokens
+    value = loss(model_output=out, dst_features=dst)
+    assert np.isfinite(float(value))
+
+
+def test_repa_live_dino_encoder_random_init():
+    dino = DinoV2(dino_model="dinov2_vits14", target_seq_len=4, rngs=nnx.Rngs(0))
+    x = jax.random.uniform(jax.random.key(0), (1, 32, 32, 3))
+    feats = dino(x)
+    assert feats.shape == (1, 4, 384)
+    assert np.isfinite(np.asarray(feats)).all()
+
+
+def test_streaming_roundtrip(tmp_path):
+    with ShardedDatasetWriter(tmp_path / "ds", shard_size=3) as w:
+        for i in range(8):
+            w.write({"image": np.full((4, 4, 3), i, np.float32), "label": np.int64(i),
+                     "caption": f"sample {i}"})
+    ds = ShardedDataset(tmp_path / "ds")
+    assert len(ds) == 8
+    assert len(ds.shards) == 3  # 3+3+2
+    s5 = ds[5]
+    assert s5["label"] == 5
+    assert s5["caption"] == "sample 5"
+    np.testing.assert_allclose(s5["image"], 5.0)
+    assert ds[-1]["label"] == 7
+
+
+def test_repa_compute_on_dataset(tmp_path):
+    with ShardedDatasetWriter(tmp_path / "src", shard_size=4) as w:
+        for i in range(6):
+            w.write({"image": np.random.default_rng(i).uniform(size=(32, 32, 3)).astype(np.float32),
+                     "label": np.int64(i)})
+    dino = DinoV2(dino_model="dinov2_vits14", target_seq_len=4, rngs=nnx.Rngs(0))
+    dino.compute_on_dataset(str(tmp_path / "src"), str(tmp_path / "dst"), batch_size=4)
+    out = ShardedDataset(tmp_path / "dst")
+    assert len(out) == 6
+    assert out[0]["dst_features"].shape == (4, 384)
+    assert out[3]["label"] == 3
+
+
+def test_repa_end_to_end_training(tmp_path):
+    """Full trainer loop with REPA extra loss on precomputed dst features."""
+
+    class DS:
+        def __init__(self, n=16):
+            rng = np.random.default_rng(0)
+            self.x = rng.normal(size=(n, 8, 8, 3)).astype(np.float32)
+            self.y = rng.integers(0, 5, n)
+            self.feats = rng.normal(size=(n, 16, 48)).astype(np.float32)
+
+        def __len__(self):
+            return len(self.x)
+
+        def __getitem__(self, i):
+            return {
+                "model_inputs": {"x": self.x[i], "y": np.int64(self.y[i])},
+                "extra": {"dst_features": self.feats[i]},
+            }
+
+    model = MMDiT(
+        simple_dit=True, input_channels=3, inner_dim=32, embedding_dim=32, num_heads=2,
+        mlp_ratio=2, patch_size=2, depth=3, n_classes=5, classifier_free=True, rngs=nnx.Rngs(0),
+    )
+    repa = RepaLoss(load_dino=False, alignment_layer=2, denoiser_dimension=32,
+                    hidden_dim=64, embedding_dim=48, rngs=nnx.Rngs(1))
+    diffuser = Diffuser(model, sampling_method="euler", model_type="rectified_flow",
+                        n_steps=4, extra_losses=[repa])
+    dl = DataLoader(DS(), batch_size=8, prefetch=0)
+    trainer = BaseTrainer(n_epoch=2, save_path=tmp_path, project_name="repa_smoke", use_ema=False)
+    trainer.train(diffuser, adamw(lr=1e-3), dl, val_dataloader=dl,
+                  log_validation_images=False)
+
+    import json
+
+    rows = [json.loads(line) for line in (tmp_path / "repa_smoke" / "metrics.jsonl").read_text().splitlines()]
+    repa_losses = [r["train/RepaLoss"] for r in rows if "train/RepaLoss" in r]
+    assert len(repa_losses) == 2
+    assert all(np.isfinite(v) for v in repa_losses)
+    # projection MLP should be learning to align -> loss decreases
+    assert repa_losses[-1] < repa_losses[0]
