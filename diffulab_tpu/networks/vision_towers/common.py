@@ -1,0 +1,87 @@
+"""Vision tower (VAE) interface + offline latent precompute
+(reference src/diffulab/networks/vision_towers/common.py:17-178).
+
+A vision tower encodes NHWC images to latents and back. ``compute_on_dataset``
+streams a sharded dataset, encodes the image column, and writes a new dataset
+with an added ``vision_latents`` column (the reference's MDS pipeline re-homed
+onto diffulab_tpu.data.streaming).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from diffulab_tpu.data.streaming import ShardedDataset, ShardedDatasetWriter
+
+
+def normalize_to_pm1(x: jax.Array) -> jax.Array:
+    """0-1/0-255 range detection then scale to [-1, 1]
+    (reference dc_ae.py:48-59 / flux2.py:52-63)."""
+    x = x.astype(jnp.float32)
+    x = jnp.where(jnp.max(jnp.abs(x)) > 1.5, x / 255.0, x)
+    x = jnp.clip(x, 0.0, 1.0)
+    return (x - 0.5) * 2.0
+
+
+class VisionTower(nnx.Module):
+    """Base class for VAE towers with latent scale/bias handling."""
+
+    def __init__(self, latent_scale: Any = 1.0, latent_bias: Any = 0.0) -> None:
+        self.latent_scale = latent_scale
+        self.latent_bias = latent_bias
+
+    @property
+    def compression_factor(self) -> int:
+        raise NotImplementedError
+
+    @property
+    def latent_channels(self) -> int:
+        raise NotImplementedError
+
+    def encode(self, x: jax.Array, rng: jax.Array | None = None) -> jax.Array:
+        raise NotImplementedError
+
+    def decode(self, z: jax.Array) -> jax.Array:
+        raise NotImplementedError
+
+    def __call__(self, x: jax.Array, rng: jax.Array | None = None) -> jax.Array:
+        return self.decode(self.encode(x, rng))
+
+    def compute_on_dataset(
+        self,
+        dataset_path: str,
+        dst_path: str,
+        batch_size: int = 64,
+        to_process_data_key: str | None = None,
+        target_type: str = "float32",
+        column_target: str = "vision_latents",
+        shard_size: int = 1024,
+        seed: int = 0,
+    ) -> None:
+        """Stream ``dataset_path``, add a ``vision_latents`` column, write ``dst_path``."""
+        dataset = ShardedDataset(dataset_path)
+        if to_process_data_key is None:
+            image_cols = [c for c in dataset.columns if c.startswith("image")]
+            assert len(image_cols) == 1, f"need exactly one image column, got {image_cols}"
+            to_process_data_key = image_cols[0]
+        if target_type not in ("float32", "float16"):
+            raise ValueError("target_type must be 'float32' or 'float16'")
+        out_dtype = np.float32 if target_type == "float32" else np.float16
+
+        encode = jax.jit(lambda imgs, rng: self.encode(imgs, rng))
+        rng = jax.random.key(seed)
+        with ShardedDatasetWriter(dst_path, shard_size=shard_size) as writer:
+            n = len(dataset)
+            for bi, start in enumerate(range(0, n, batch_size)):
+                samples = [dataset[i] for i in range(start, min(start + batch_size, n))]
+                images = jnp.asarray(
+                    np.stack([np.asarray(s[to_process_data_key], np.float32) for s in samples])
+                )
+                latents = np.asarray(encode(images, jax.random.fold_in(rng, bi)), dtype=out_dtype)
+                for i, s in enumerate(samples):
+                    writer.write({**s, column_target: latents[i]})

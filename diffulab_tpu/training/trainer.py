@@ -191,14 +191,26 @@ class BaseTrainer(Trainer):
 
     # ------------------------------------------------------------------ #
     def _prepare_batch(self, batch: dict[str, Any]) -> dict[str, Any]:
+        """Shard array leaves onto the mesh; drop host-only leaves (caption
+        strings etc.) — they cannot cross the jit boundary. Conditioning for
+        jitted steps must be arrays (precomputed embeddings or labels)."""
         sh = batch_sharding(self.mesh)
 
-        def put(x):
-            if isinstance(x, (np.ndarray, jax.Array)):
-                return jax.device_put(x, sh)
-            return x
+        def clean(node):
+            if isinstance(node, dict):
+                out = {}
+                for k, v in node.items():
+                    v = clean(v)
+                    if v is not None:
+                        out[k] = v
+                return out
+            if isinstance(node, (np.ndarray, jax.Array)):
+                return jax.device_put(node, sh)
+            if isinstance(node, (int, float, np.integer, np.floating)):
+                return jax.device_put(np.asarray(node), sh)
+            return None  # strings / lists of strings: host-only
 
-        return jax.tree.map(put, batch)
+        return clean(batch)
 
     def log_images(
         self,

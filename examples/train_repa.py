@@ -1,0 +1,107 @@
+"""Latent-diffusion + REPA training entry point
+(parity: reference examples/train_repa.py:14-107).
+
+Usage:
+    python examples/train_repa.py --config-name train_imagenet_flow_matching_repa \
+        trainer.n_epoch=150
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))  # allow running without install
+
+import yaml
+from flax import nnx
+
+from diffulab_tpu.config import compose_config, instantiate
+from diffulab_tpu.data.loader import DataLoader
+from diffulab_tpu.diffuse import Diffuser
+from diffulab_tpu.training.losses.repa import RepaLoss
+from diffulab_tpu.training.trainer import BaseTrainer
+
+CONFIG_DIR = Path(__file__).parent.parent / "configs"
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config-name", default="train_imagenet_flow_matching_repa")
+    parser.add_argument("--config-dir", default=str(CONFIG_DIR))
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("overrides", nargs="*")
+    args = parser.parse_args()
+
+    cfg = compose_config(args.config_dir, args.config_name, args.overrides)
+    print(yaml.safe_dump(cfg, sort_keys=False))
+    rngs = nnx.Rngs(args.seed)
+
+    train_dataset = instantiate(cfg["dataset"]["train"])
+    val_dataset = instantiate(cfg["dataset"]["val"])
+
+    denoiser = instantiate(cfg["model"], rngs=rngs)
+
+    resampler_cfg = cfg.get("perceiver_resampler", {})
+    repa_loss = RepaLoss(
+        denoiser_dimension=cfg["model"]["inner_dim"],
+        embedding_dim=1024,  # precomputed DINOv2-L feature dim
+        load_dino=False,
+        use_resampler=resampler_cfg.get("use_resampler", False),
+        resampler_params=resampler_cfg.get("parameters"),
+        coeff=0.5,
+        rngs=rngs,
+    )
+    vision_tower = instantiate(cfg["vision_tower"], rngs=rngs)
+
+    train_dataset.set_latent_scale(vision_tower.latent_scale)
+    val_dataset.set_latent_scale(vision_tower.latent_scale)
+
+    dl_cfg = cfg.get("dataloader", {})
+    train_loader = DataLoader(train_dataset, batch_size=dl_cfg.get("batch_size", 32),
+                              shuffle=True, seed=args.seed, drop_last=True)
+    val_loader = DataLoader(val_dataset, batch_size=dl_cfg.get("batch_size", 32), shuffle=False)
+
+    diffuser = Diffuser(
+        denoiser=denoiser,
+        model_type=cfg["diffuser"]["model_type"],
+        n_steps=cfg["diffuser"]["n_steps"],
+        sampling_method=cfg["diffuser"]["sampling_method"],
+        vision_tower=vision_tower,
+        extra_args=cfg["diffuser"].get("extra_args", {}),
+        extra_losses=[repa_loss],
+    )
+    optimizer = instantiate(cfg["optimizer"])
+
+    trainer_cfg = cfg["trainer"]
+    trainer = BaseTrainer(
+        n_epoch=trainer_cfg["n_epoch"],
+        gradient_accumulation_step=trainer_cfg.get("gradient_accumulation_step", 1),
+        precision_type=trainer_cfg.get("precision_type", "no"),
+        project_name=trainer_cfg.get("project_name", "diffulab"),
+        save_path=trainer_cfg.get("save_path"),
+        use_ema=trainer_cfg.get("use_ema", False),
+        ema_rate=trainer_cfg.get("ema_rate", 0.999),
+        ema_update_after_step=trainer_cfg.get("ema_update_after_step", 0),
+        ema_update_every=trainer_cfg.get("ema_update_every", 10),
+        run_config=cfg,
+        compile=trainer_cfg.get("compile", False),
+        mesh=trainer_cfg.get("mesh"),
+        init_kwargs={"wandb": trainer_cfg.get("wandb", {})},
+    )
+    trainer.train(
+        diffuser=diffuser,
+        optimizer=optimizer,
+        train_dataloader=train_loader,
+        val_dataloader=val_loader,
+        log_validation_images=trainer_cfg.get("log_validation_images", True),
+        val_steps=trainer_cfg.get("val_steps", 50),
+        val_step_shift=trainer_cfg.get("val_step_shift"),
+        p_classifier_free_guidance=trainer_cfg.get("p_classifier_free_guidance", 0),
+        seed=args.seed,
+    )
+
+
+if __name__ == "__main__":
+    main()
