@@ -1,0 +1,295 @@
+"""GRPO post-training trainer (reference trainers/grpo_trainer.py:25-623).
+
+RL alignment loop, TPU-structured:
+
+- SAMPLE (jitted): per prompt, draw ONE shared noise; for each of the
+  ``n_image_per_prompt`` groups run the full Euler–Maruyama reverse scan with
+  intermediates (xt / means / stds / logprobs carried out of the scan) under
+  one jit — different trajectories come from the SDE noise stream, not the
+  init (reference sample_model, :169-251);
+- REWARD (host): the VLM pairwise-preference judge is autoregressive
+  generation and stays OUT of the jitted graph (SURVEY.md §7.3) — decoded
+  samples go host-side as numpy, advantages come back per image;
+- LEARN (jitted): per group, the clipped-ratio GRPO objective re-evaluates
+  transition log-probs on a random timestep subset with forced ``x_prev``
+  (Flow.compute_loss_grpo), grads, optimizer + EMA update.
+
+Trainer features (EMA, checkpointing, metrics, validation-with-EMA-swap,
+best-val save) mirror BaseTrainer.
+"""
+
+from __future__ import annotations
+
+import logging as pylog
+from functools import partial
+from typing import Any, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import nnx
+
+from diffulab_tpu.diffuse.diffuser import Diffuser
+from diffulab_tpu.diffuse.flow import Flow
+from diffulab_tpu.networks.rewards.common import RewardModel
+from diffulab_tpu.training.checkpoint import restore_checkpoint
+from diffulab_tpu.training.ema import ema_update
+from diffulab_tpu.training.meters import AverageMeter
+from diffulab_tpu.training.trainer import Trainer, _TrainModules
+from diffulab_tpu.parallel.mesh import is_main_process
+
+logger = pylog.getLogger(__name__)
+
+
+class GRPOTrainer(Trainer):
+    def __init__(self, *args: Any, timestep_fraction: float = 0.6, kl_beta: float = 0.0,
+                 eps: float = 1e-4, **kwargs: Any):
+        super().__init__(*args, **kwargs)
+        self.timestep_fraction = timestep_fraction
+        self.kl_beta = kl_beta
+        self.eps = eps
+
+    # ------------------------------------------------------------------ #
+    def _build_fns(self, diffuser: Diffuser, graphdef, optimizer, guidance_scale: float):
+        diffusion = diffuser.diffusion
+        assert isinstance(diffusion, Flow), "GRPO requires the rectified_flow formalization"
+        vision_tower = diffuser.vision_tower
+        use_ema = self.use_ema
+        ema_config = self.ema_config
+        kl_beta, eps, tf = self.kl_beta, self.eps, self.timestep_fraction
+
+        @jax.jit
+        def sample_group(params, rng_state, rest, x_init, cond, rng):
+            modules = nnx.merge(graphdef, params, rng_state, rest)
+
+            def model_fn(**kw):
+                return modules.denoiser(**kw, train=False)
+
+            out = diffusion.denoise(
+                model_fn, cond, rng, x=x_init, guidance_scale=guidance_scale,
+                use_cfg=guidance_scale > 0, return_intermediates=True,
+            )
+            decoded = out["x"]
+            if vision_tower is not None:
+                decoded = vision_tower.decode(
+                    decoded / diffuser.latent_scale + diffuser.latent_bias
+                )
+            return out, decoded
+
+        @partial(jax.jit, donate_argnums=(0, 3, 4))
+        def grpo_step(params, rng_state, rest, opt_state, ema_params, cond, sampling,
+                      advantages, rng, step):
+            def loss_fn(params):
+                modules = nnx.merge(graphdef, params, rng_state, rest)
+
+                def model_fn(**kw):
+                    return modules.denoiser(**kw, train=True)
+
+                losses = diffusion.compute_loss_grpo(
+                    model_fn, cond, sampling, advantages, rng,
+                    kl_beta=kl_beta, eps=eps, timestep_fraction=tf,
+                    guidance_scale=guidance_scale,
+                )
+                return losses["loss"], losses
+
+            (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            if use_ema:
+                ema_params = ema_update(ema_config, ema_params, params, step)
+            return params, opt_state, ema_params, losses
+
+        @jax.jit
+        def grpo_eval(params, rng_state, rest, cond, sampling, advantages, rng):
+            modules = nnx.merge(graphdef, params, rng_state, rest)
+
+            def model_fn(**kw):
+                return modules.denoiser(**kw, train=False)
+
+            return diffusion.compute_loss_grpo(
+                model_fn, cond, sampling, advantages, rng,
+                kl_beta=kl_beta, eps=eps, timestep_fraction=tf,
+                guidance_scale=guidance_scale,
+            )
+
+        return sample_group, grpo_step, grpo_eval
+
+    # ------------------------------------------------------------------ #
+    @staticmethod
+    def _data_shape(diffuser: Diffuser, batch_size: int,
+                    image_resolution: tuple[int, int]) -> tuple[int, ...]:
+        """NHWC sampling shape (reference sample_model, :203-216)."""
+        if diffuser.vision_tower is not None:
+            f = diffuser.vision_tower.compression_factor
+            return (batch_size, image_resolution[0] // f, image_resolution[1] // f,
+                    diffuser.vision_tower.latent_channels)
+        return (batch_size, image_resolution[0], image_resolution[1], 3)
+
+    def _run_batch(self, batch, sample_fns, reward_model, params, rng_state, rest,
+                   opt_state, ema_params, rng, step, n_image_per_prompt, tracker,
+                   train: bool):
+        sample_group, grpo_step, grpo_eval = sample_fns
+        model_inputs = dict(batch["model_inputs"])
+        captions = batch.get("extra", {}).get("captions")
+        assert captions is not None, "GRPO batches need extra['captions']"
+        cond = {k: v for k, v in model_inputs.items() if k != "x"}
+        cond_arrays = jax.tree.map(jnp.asarray, cond)
+
+        x_init = model_inputs.get("x")
+        if x_init is None:
+            x_init = jax.random.normal(jax.random.fold_in(rng, 0), self._grpo_shape)
+        else:
+            x_init = jnp.asarray(x_init)
+
+        # --- SAMPLE: one trajectory set per image-per-prompt group ----------
+        samplings, decoded_all = [], []
+        eval_params = ema_params if (ema_params is not None and not train) else params
+        for g in range(n_image_per_prompt):
+            out, decoded = sample_group(
+                eval_params if not train else params, rng_state, rest,
+                x_init, cond_arrays, jax.random.fold_in(rng, 100 + g),
+            )
+            samplings.append(out)
+            decoded_all.append(np.asarray(decoded, np.float32))
+
+        # --- REWARD (host side) ---------------------------------------------
+        # groups interleave per prompt: reward model expects [P*N] ordered
+        # prompt-major; our groups are N x [P] -> transpose ordering
+        p = x_init.shape[0]
+        images = np.stack(decoded_all, axis=1).reshape(p * n_image_per_prompt,
+                                                       *decoded_all[0].shape[1:])
+        advantages = np.asarray(reward_model(images=images, context=list(captions)), np.float32)
+        advantages = advantages.reshape(p, n_image_per_prompt)
+
+        # --- LEARN per group -------------------------------------------------
+        prefix = "train" if train else "val"
+        for g, sampling in enumerate(samplings):
+            adv_g = jnp.asarray(advantages[:, g])
+            if train:
+                step += 1
+                params, opt_state, ema_params, losses = grpo_step(
+                    params, rng_state, rest, opt_state, ema_params, cond_arrays,
+                    sampling, adv_g, jax.random.fold_in(rng, 200 + g), step,
+                )
+            else:
+                losses = grpo_eval(params if ema_params is None else ema_params,
+                                   rng_state, rest, cond_arrays, sampling, adv_g,
+                                   jax.random.fold_in(rng, 200 + g))
+            for key, loss in losses.items():
+                tracker.update(float(loss), key=f"{prefix}/{key}")
+        tracker.update(float(advantages.mean()), key=f"{prefix}/advantage_mean")
+        return params, opt_state, ema_params, step
+
+    # ------------------------------------------------------------------ #
+    def train(
+        self,
+        diffuser: Diffuser,
+        reward_model: RewardModel,
+        optimizer: optax.GradientTransformation,
+        train_dataloader: Iterable[dict[str, Any]],
+        val_dataloader: Iterable[dict[str, Any]] | None = None,
+        log_validation_images: bool = True,
+        val_steps: int = 25,
+        optimizer_ckpt: str | None = None,
+        denoiser_ckpt: str | None = None,
+        ema_ckpt: str | None = None,
+        epoch_start: int = 0,
+        n_image_per_prompt: int = 16,
+        guidance_scale: float = 4.0,
+        image_resolution: tuple[int, int] = (512, 512),
+        batch_size: int | None = None,
+        seed: int = 0,
+    ) -> None:
+        assert getattr(diffuser.denoiser, "context_embedder", None) is not None, (
+            "Alignment training requires a context embedder in the denoiser model."
+        )
+        reward_model.set_n_image_per_prompt(n_image_per_prompt)
+
+        if self.gradient_accumulation_step > 1:
+            optimizer = optax.MultiSteps(optimizer, every_k_schedule=self.gradient_accumulation_step)
+
+        modules = _TrainModules(diffuser.denoiser, diffuser.extra_losses)
+        # context embedder hard-frozen during GRPO (reference :514-515)
+        trainable = nnx.All(nnx.Param, nnx.Not(nnx.PathContains("context_embedder")))
+        graphdef, params, rng_state, rest = nnx.split(modules, trainable, nnx.RngState, ...)
+
+        if denoiser_ckpt:
+            restored = restore_checkpoint(denoiser_ckpt, {"params": params, "rest": rest})
+            params, rest = restored["params"], restored["rest"]
+        opt_state = optimizer.init(params)
+        if optimizer_ckpt:
+            opt_state = restore_checkpoint(optimizer_ckpt, {"opt_state": opt_state})["opt_state"]
+        ema_params = None
+        if self.use_ema:
+            if ema_ckpt:
+                ema_params = restore_checkpoint(ema_ckpt, {"params": params})["params"]
+            else:
+                ema_params = jax.tree.map(jnp.copy, params)
+
+        # data_shape requires a known prompt batch size; peek the first batch
+        first_batch = next(iter(train_dataloader))
+        p = batch_size or len(first_batch["extra"]["captions"])
+        self._grpo_shape = self._data_shape(diffuser, p, image_resolution)
+
+        sample_fns = self._build_fns(diffuser, graphdef, optimizer, guidance_scale)
+
+        tracker = AverageMeter()
+        best_val_loss = float("inf")
+        rng = jax.random.key(seed)
+        step = 0
+        logger.info("Begin GRPO training")
+
+        for epoch in range(epoch_start, self.n_epoch):
+            for bi, batch in enumerate(train_dataloader):
+                params, opt_state, ema_params, step = self._run_batch(
+                    batch, sample_fns, reward_model, params, rng_state, rest,
+                    opt_state, ema_params, jax.random.fold_in(rng, epoch * 100_000 + bi),
+                    step, n_image_per_prompt, tracker, train=True,
+                )
+            for key, value in tracker.avg.items():
+                if key.startswith("train/"):
+                    self.tracker.log({key: value}, step=epoch + 1)
+            tracker.reset()
+
+            if val_dataloader is not None:
+                for bi, batch in enumerate(val_dataloader):
+                    params, opt_state, ema_params, step = self._run_batch(
+                        batch, sample_fns, reward_model, params, rng_state, rest,
+                        opt_state, ema_params, jax.random.fold_in(rng, 999_000 + bi),
+                        step, n_image_per_prompt, tracker, train=False,
+                    )
+                total_loss = 0.0
+                for key, value in tracker.avg.items():
+                    if key.startswith("val/"):
+                        self.tracker.log({key: value}, step=epoch + 1)
+                        if key == "val/loss":
+                            total_loss += value
+                if log_validation_images and is_main_process():
+                    nnx.update(modules, ema_params if ema_params is not None else params)
+                    # one quick grid from the first val batch's conditioning
+                    try:
+                        vb = next(iter(val_dataloader))
+                        cond = {k: jnp.asarray(v) for k, v in vb["model_inputs"].items()
+                                if k != "x" and not isinstance(v, list)}
+                        n = min(4, self._grpo_shape[0])
+                        cond = jax.tree.map(lambda v: v[:n], cond)
+                        out = diffuser.generate(
+                            jax.random.fold_in(rng, 555 + epoch), cond,
+                            data_shape=(n, *self._grpo_shape[1:]),
+                            guidance_scale=guidance_scale,
+                        )
+                        imgs = np.clip(np.asarray(out["x"], np.float32) * 0.5 + 0.5, 0, 1)
+                        self.tracker.log_images(imgs, step=epoch + 1)
+                    except Exception as e:  # logging must not kill training
+                        logger.warning("validation image logging failed: %s", e)
+                    nnx.update(modules, params)
+
+                if total_loss < best_val_loss:
+                    best_val_loss = total_loss
+                    self.save_model(diffuser, params, rest, opt_state, ema_params, step)
+                tracker.reset()
+
+        nnx.update(modules, params)
+        self.tracker.finish()
+        logger.info("GRPO training complete")

@@ -1,0 +1,132 @@
+"""GRPO subsystem tests: reward aggregation machinery + end-to-end RL loop."""
+
+import numpy as np
+import pytest
+from flax import nnx
+
+from diffulab_tpu.diffuse import Diffuser
+from diffulab_tpu.networks.denoisers.mmdit import MMDiT
+from diffulab_tpu.networks.embedders.precomputed import PrecomputedEmbedder
+from diffulab_tpu.networks.rewards.grpo import PrefGRPORewardModel
+from diffulab_tpu.training.grpo_trainer import GRPOTrainer
+from diffulab_tpu.training.optim import adamw
+
+
+def _stub_judge_prefer_first(queries):
+    """Always prefers Image 1 via the score-block format."""
+    return [
+        "Alignment Score:\nImage 1: 0.8\nImage 2: 0.2\n\nCoherence Score:\nImage 1: 0.7\nImage 2: 0.3\n"
+        for _ in queries
+    ]
+
+
+def _reward_model(judge, n=4, **kw):
+    return PrefGRPORewardModel(version="7b", n_image_per_prompt=n, judge=judge, **kw)
+
+
+def test_score_parsing():
+    rm = _reward_model(_stub_judge_prefer_first)
+    scores = rm._parse_scores("Alignment Score:\nImage 1: 0.45\nImage 2: 0.55\n\nStyle Score:\nImage 1: 0.6\nImage 2: 0.4")
+    assert scores["Alignment Score"]["Image 1"] == 0.45
+    assert scores["Style Score"]["Image 2"] == 0.4
+    assert rm._assess_winner("Alignment Score:\nImage 1: 0.8\nImage 2: 0.2") == 0
+    assert rm._assess_winner("Alignment Score:\nImage 1: 0.2\nImage 2: 0.8") == 1
+    assert rm._assess_winner("garbage") is None
+
+
+def test_cot_answer_parsing():
+    rm = PrefGRPORewardModel(version="cot_7b", n_image_per_prompt=4,
+                             judge=lambda q: ["<think>...</think><answer>Image 2 is better</answer>"] * len(q))
+    assert rm._assess_winner("<think>xx</think><answer>Image 2 is better</answer>") == 1
+    assert rm._assess_winner("<answer>Image 1 is better</answer>") == 0
+    assert rm.use_cot
+
+
+def test_win_rate_aggregation_and_zscore():
+    n = 4
+    rm = _reward_model(_stub_judge_prefer_first, n=n)
+    images = np.zeros((8, 8, 8, 3), np.float32)  # 2 prompts x 4 images
+    adv = rm(images, context=["a cat", "a dog"])
+    assert adv.shape == (8,)
+    adv = adv.reshape(2, n)
+    # judge always prefers the pair's first (lower-index) image -> image 0 wins
+    # all comparisons, image 3 loses all -> monotonically decreasing advantages
+    assert np.all(np.diff(adv, axis=1) < 0)
+    np.testing.assert_allclose(adv.mean(axis=1), 0.0, atol=1e-5)  # per-prompt z-score
+    assert np.all(np.abs(adv) <= 5.0)  # clamped
+
+
+def test_tie_splits_points():
+    rm = _reward_model(lambda q: ["unparseable"] * len(q), n=3)
+    images = np.zeros((3, 4, 4, 3), np.float32)
+    adv = rm(images, context=["p"])
+    # all ties -> equal win rates -> z-score 0 everywhere
+    np.testing.assert_allclose(adv, 0.0, atol=1e-5)
+
+
+def test_clip_blending():
+    def clip_scorer(images, context):
+        return np.arange(len(images), dtype=np.float32)
+
+    rm = _reward_model(lambda q: ["unparseable"] * len(q), n=2, use_clip=True,
+                       clip_scorer=clip_scorer, lambda_base=0.5, lambda_clip=2.0)
+    adv = rm(np.zeros((4, 4, 4, 3), np.float32), context=["a", "b"])
+    # pref part is all ties (0); clip part increases with index -> index 1 > index 0
+    adv = adv.reshape(2, 2)
+    assert np.all(adv[:, 1] > adv[:, 0])
+
+
+def test_batch_not_divisible_raises():
+    rm = _reward_model(_stub_judge_prefer_first, n=4)
+    with pytest.raises(AssertionError):
+        rm(np.zeros((6, 4, 4, 3), np.float32), context=["a"])
+
+
+def test_grpo_trainer_end_to_end(tmp_path):
+    """Tiny MMDiT + EM sampler + stub judge: loss finite, checkpoint written."""
+    embedder = PrecomputedEmbedder(
+        null_embedding=np.zeros((4, 16), np.float32), null_embedding_seq_len=2,
+    )
+    model = MMDiT(
+        simple_dit=False, input_channels=3, inner_dim=32, embedding_dim=32, num_heads=2,
+        mlp_ratio=2, patch_size=2, depth=2, classifier_free=True,
+        context_embedder=embedder, rngs=nnx.Rngs(0),
+    )
+    diffuser = Diffuser(model, sampling_method="euler_maruyama",
+                        model_type="rectified_flow", n_steps=4)
+
+    rng = np.random.default_rng(0)
+
+    def batches():
+        return [{
+            "model_inputs": {
+                "context": {
+                    "embeddings": rng.normal(size=(2, 4, 16)).astype(np.float32),
+                    "attn_mask": np.ones((2, 4), bool),
+                },
+            },
+            "extra": {"captions": ["a red square", "a blue circle"]},
+        }]
+
+    trainer = GRPOTrainer(
+        n_epoch=1, save_path=tmp_path, project_name="grpo_smoke", use_ema=True,
+        timestep_fraction=0.5, kl_beta=0.1,
+    )
+    trainer.train(
+        diffuser,
+        reward_model=_reward_model(_stub_judge_prefer_first, n=2),
+        optimizer=adamw(lr=1e-4),
+        train_dataloader=batches(),
+        val_dataloader=batches(),
+        n_image_per_prompt=2,
+        guidance_scale=1.5,
+        image_resolution=(8, 8),
+        log_validation_images=False,
+    )
+    import json
+
+    rows = [json.loads(line) for line in (tmp_path / "grpo_smoke" / "metrics.jsonl").read_text().splitlines()]
+    keys = {k for r in rows for k in r}
+    assert "train/loss" in keys and "val/loss" in keys and "train/advantage_mean" in keys
+    assert all(np.isfinite(v) for r in rows for k, v in r.items() if k.endswith("loss"))
+    assert (tmp_path / "grpo_smoke" / "checkpoints" / "denoiser").exists()
