@@ -190,6 +190,20 @@ class BaseTrainer(Trainer):
         return train_step, eval_step
 
     # ------------------------------------------------------------------ #
+    @staticmethod
+    def _host_embed(batch: dict[str, Any], diffuser: Diffuser) -> dict[str, Any]:
+        """Embed raw caption strings host-side (HF embedders) before the jit
+        boundary; precomputed 'context' passes through untouched."""
+        mi = batch.get("model_inputs", {})
+        texts = mi.get("initial_context")
+        embedder = getattr(diffuser.denoiser, "context_embedder", None)
+        if texts is not None and "context" not in mi and hasattr(embedder, "embed_host"):
+            out = embedder.embed_host(list(texts))
+            mi = dict(mi)
+            mi["context"] = dict(out)
+            batch = {**batch, "model_inputs": mi}
+        return batch
+
     def _prepare_batch(self, batch: dict[str, Any]) -> dict[str, Any]:
         """Shard array leaves onto the mesh; drop host-only leaves (caption
         strings etc.) — they cannot cross the jit boundary. Conditioning for
@@ -287,6 +301,12 @@ class BaseTrainer(Trainer):
         for loss in diffuser.extra_losses:
             loss.set_model(diffuser.denoiser)
 
+        # HF text embedders need their null ("" prompt) embedding cached
+        # host-side before the jitted step traces the CFG drop path
+        embedder = getattr(diffuser.denoiser, "context_embedder", None)
+        if hasattr(embedder, "embed_host"):
+            embedder.embed_host([""])
+
         # --- optimizer wrapping: schedule + gradient accumulation ---------
         if scheduler is not None:
             if steps_per_epoch is None and not per_batch_scheduler:
@@ -344,7 +364,7 @@ class BaseTrainer(Trainer):
         for epoch in range(epoch_start, self.n_epoch):
             # --- train epoch ---------------------------------------------
             for batch in train_dataloader:
-                batch = self._prepare_batch(batch)
+                batch = self._prepare_batch(self._host_embed(batch, diffuser))
                 step += 1
                 step_rng = jax.random.fold_in(rng, step)
                 params, opt_state, ema_params, losses = train_step(
@@ -362,7 +382,7 @@ class BaseTrainer(Trainer):
             if val_dataloader is not None:
                 eval_params = ema_params if ema_params is not None else params
                 for vi, val_batch in enumerate(val_dataloader):
-                    val_batch = self._prepare_batch(val_batch)
+                    val_batch = self._prepare_batch(self._host_embed(val_batch, diffuser))
                     val_losses = eval_step(eval_params, rng_state, rest, val_batch, jax.random.fold_in(rng, 1_000_000 + vi))
                     for key, val_loss in val_losses.items():
                         tracker_meter.update(float(val_loss), key=f"val/{key}")

@@ -1,0 +1,114 @@
+"""HF text embedder tests with stub encoders (no network / weights needed)."""
+
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from diffulab_tpu.data.loader import DataLoader
+from diffulab_tpu.data.streaming import ShardedDataset, ShardedDatasetWriter
+from diffulab_tpu.diffuse import Diffuser
+from diffulab_tpu.networks.denoisers.mmdit import MMDiT
+from diffulab_tpu.networks.embedders.hf_text import QwenTextEmbedder, SD3TextEmbedder
+from diffulab_tpu.training.optim import adamw
+from diffulab_tpu.training.trainer import BaseTrainer
+
+
+def _stub_encode(dim=16, seq=6):
+    def encode(texts):
+        rng = np.random.default_rng(abs(hash(tuple(texts))) % 2**31)
+        emb = rng.normal(size=(len(texts), seq, dim)).astype(np.float32)
+        # empty string -> all-zeros embedding (deterministic null)
+        for i, t in enumerate(texts):
+            if t == "":
+                emb[i] = 0.0
+        return {"embeddings": emb, "attn_mask": np.ones((len(texts), seq), bool)}
+
+    return encode
+
+
+def test_qwen_embedder_stub_host_and_jit_paths():
+    emb = QwenTextEmbedder(hidden_size=16, encode_fn=_stub_encode())
+    assert emb.n_output == 1 and emb.output_size == (16,)
+    out = emb.embed_host(["a cat", "a dog"])
+    assert out["embeddings"].shape == (2, 6, 16)
+
+    # in-jit drop: swaps to the cached null embedding
+    ctx = {"embeddings": jnp.asarray(out["embeddings"]),
+           "attn_mask": jnp.asarray(out["attn_mask"])}
+    dropped = emb(ctx, drop=jnp.array([True, False]))
+    np.testing.assert_allclose(np.asarray(dropped["embeddings"][0]), 0.0)  # null is zeros
+    assert not np.allclose(np.asarray(dropped["embeddings"][1]), 0.0)
+
+
+def test_embedder_rejects_raw_strings_in_graph():
+    emb = QwenTextEmbedder(hidden_size=16, encode_fn=_stub_encode())
+    emb.embed_host([""])
+    try:
+        emb(["raw text"])
+        raise AssertionError("should have raised")
+    except TypeError as e:
+        assert "host-side" in str(e)
+
+
+def test_sd3_embedder_stub_pooled():
+    def encode(texts):
+        n = len(texts)
+        return {
+            "embeddings": np.ones((n, 8, 4096), np.float32),
+            "attn_mask": np.ones((n, 8), bool),
+            "pooled_embeddings": np.full((n, 2048), 2.0, np.float32),
+        }
+
+    emb = SD3TextEmbedder(encode_fn=encode)
+    assert emb.n_output == 2 and emb.output_size == (2048, 4096)
+    out = emb.embed_host(["x"])
+    assert out["pooled_embeddings"].shape == (1, 2048)
+
+
+def test_compute_on_dataset_captions(tmp_path):
+    with ShardedDatasetWriter(tmp_path / "src", shard_size=4) as w:
+        for i in range(5):
+            w.write({"caption": f"text {i}", "label": np.int64(i)})
+    emb = QwenTextEmbedder(hidden_size=16, encode_fn=_stub_encode())
+    emb.compute_on_dataset(str(tmp_path / "src"), str(tmp_path / "dst"), batch_size=2)
+    ds = ShardedDataset(tmp_path / "dst")
+    assert len(ds) == 5
+    assert ds[0]["caption_embeddings"].shape == (6, 16)
+    assert ds[0]["caption_mask"].shape == (6,)
+
+
+def test_trainer_host_embedding_path(tmp_path):
+    """Raw caption strings are embedded host-side before the jitted step."""
+    emb = QwenTextEmbedder(hidden_size=16, encode_fn=_stub_encode())
+    model = MMDiT(
+        simple_dit=False, input_channels=3, inner_dim=32, embedding_dim=32, num_heads=2,
+        mlp_ratio=2, patch_size=2, depth=2, classifier_free=True,
+        context_embedder=emb, rngs=nnx.Rngs(0),
+    )
+    diffuser = Diffuser(model, sampling_method="euler", model_type="rectified_flow", n_steps=4)
+
+    class DS:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            return {"model_inputs": {
+                "x": np.random.default_rng(i).normal(size=(8, 8, 3)).astype(np.float32),
+                "initial_context": f"caption {i}",
+            }}
+
+    def collate(items):
+        return {"model_inputs": {
+            "x": np.stack([it["model_inputs"]["x"] for it in items]),
+            "initial_context": [it["model_inputs"]["initial_context"] for it in items],
+        }}
+
+    dl = DataLoader(DS(), batch_size=8, collate_fn=collate, prefetch=0)
+    trainer = BaseTrainer(n_epoch=1, save_path=tmp_path, project_name="hf_embed", use_ema=False)
+    trainer.train(diffuser, adamw(lr=1e-3), dl, val_dataloader=None,
+                  p_classifier_free_guidance=0.5, log_validation_images=False)
+
+    import json
+
+    rows = [json.loads(line) for line in (tmp_path / "hf_embed" / "metrics.jsonl").read_text().splitlines()]
+    assert any("train/loss" in r and np.isfinite(r["train/loss"]) for r in rows)
