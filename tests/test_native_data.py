@@ -1,0 +1,56 @@
+"""Native C++ data-path kernels vs NumPy reference."""
+
+import numpy as np
+
+from diffulab_tpu.data import native
+from diffulab_tpu.data.base import BaseDataset
+from diffulab_tpu.data.loader import DataLoader
+
+
+def test_normalize_u8_matches_numpy():
+    src = np.random.default_rng(0).integers(0, 256, (1000, 7), dtype=np.uint8)
+    out = native.normalize_u8_to_f32(src)
+    ref = src.astype(np.float32) / 127.5 - 1.0
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+    assert out.dtype == np.float32
+
+
+def test_gather_collate_matches_numpy():
+    store = np.random.default_rng(0).normal(size=(100, 4, 4, 3)).astype(np.float32)
+    idx = np.array([5, 0, 99, 50])
+    out = native.gather_collate_f32(store, idx)
+    np.testing.assert_allclose(out, store[idx])
+
+
+def test_gather_normalize_matches_numpy():
+    store = np.random.default_rng(0).integers(0, 256, (100, 8, 8, 3), dtype=np.uint8)
+    idx = np.array([3, 7, 7, 0])
+    out = native.gather_normalize_u8(store, idx)
+    ref = store[idx].astype(np.float32) / 127.5 - 1.0
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_dataset_fast_batch_equals_itemwise():
+    class DS(BaseDataset):
+        def __init__(self):
+            super().__init__()
+            rng = np.random.default_rng(0)
+            self.images = rng.integers(0, 256, (32, 8, 8, 3), dtype=np.uint8)
+            self.labels = rng.integers(0, 10, 32)
+
+        def preprocess_image(self, image):
+            return (image.astype(np.float32) / 255.0 - 0.5) / 0.5
+
+    ds = DS()
+    fast = ds.get_batch([1, 5, 9])
+    slow = np.stack([ds[i]["model_inputs"]["x"] for i in (1, 5, 9)])
+    np.testing.assert_allclose(fast["model_inputs"]["x"], slow, atol=1e-6)
+    np.testing.assert_array_equal(fast["model_inputs"]["y"], ds.labels[[1, 5, 9]])
+
+    # loader takes the fast path (same content, one batch object)
+    dl = DataLoader(ds, batch_size=8, shuffle=False, prefetch=0)
+    batch = next(iter(dl))
+    assert batch["model_inputs"]["x"].shape == (8, 8, 8, 3)
+    np.testing.assert_allclose(
+        batch["model_inputs"]["x"][0], ds[0]["model_inputs"]["x"], atol=1e-6
+    )
