@@ -65,11 +65,11 @@ def bench_train(model, diffuser, n_iters=30):
 
     rng = jax.random.key(0)
     params, opt_state, loss = train_step(params, opt_state, rng)  # compile
-    jax.block_until_ready(loss)
+    float(loss)  # host transfer: guarantees real completion through the relay
     t0 = time.perf_counter()
     for i in range(n_iters):
         params, opt_state, loss = train_step(params, opt_state, jax.random.fold_in(rng, i))
-    jax.block_until_ready(loss)
+    float(loss)  # step i depends on step i-1's params -> the chain is sequential
     dt = (time.perf_counter() - t0) / n_iters
     return BATCH / dt, dt
 
@@ -88,12 +88,11 @@ def bench_sample(model, diffuser, n_iters=5):
             dtype=jnp.bfloat16,
         )["x"]
 
-    out = sample(state, jax.random.key(0))
-    jax.block_until_ready(out)
+    float(sample(state, jax.random.key(0)).sum())  # compile + complete
     t0 = time.perf_counter()
+    acc = 0.0
     for i in range(n_iters):
-        out = sample(state, jax.random.key(i))
-    jax.block_until_ready(out)
+        acc += float(sample(state, jax.random.key(i)).sum())  # forced completion per call
     dt = (time.perf_counter() - t0) / n_iters
     return SAMPLE_BATCH / dt, dt
 
