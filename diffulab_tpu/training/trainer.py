@@ -363,6 +363,10 @@ class BaseTrainer(Trainer):
         logger.info("Begin training")
         for epoch in range(epoch_start, self.n_epoch):
             # --- train epoch ---------------------------------------------
+            # losses accumulate ON DEVICE (async); one host transfer per epoch
+            # (a per-step float() would round-trip the host every step)
+            loss_sums: dict[str, jax.Array] = {}
+            n_steps_epoch = 0
             for batch in train_dataloader:
                 batch = self._prepare_batch(self._host_embed(batch, diffuser))
                 step += 1
@@ -370,9 +374,13 @@ class BaseTrainer(Trainer):
                 params, opt_state, ema_params, losses = train_step(
                     params, rng_state, rest, opt_state, ema_params, batch, step_rng, step
                 )
+                n_steps_epoch += 1
                 for key, loss in losses.items():
-                    tracker_meter.update(float(loss), key=f"train/{key}")
+                    prev = loss_sums.get(key)
+                    loss_sums[key] = loss if prev is None else prev + loss
 
+            for key, total in loss_sums.items():
+                tracker_meter.update(float(total) / max(n_steps_epoch, 1), key=f"train/{key}")
             for key, value in tracker_meter.avg.items():
                 if key.startswith("train/"):
                     self.tracker.log({key: value}, step=epoch + 1)
@@ -381,11 +389,17 @@ class BaseTrainer(Trainer):
             # --- validation ------------------------------------------------
             if val_dataloader is not None:
                 eval_params = ema_params if ema_params is not None else params
+                val_sums: dict[str, jax.Array] = {}
+                n_val = 0
                 for vi, val_batch in enumerate(val_dataloader):
                     val_batch = self._prepare_batch(self._host_embed(val_batch, diffuser))
                     val_losses = eval_step(eval_params, rng_state, rest, val_batch, jax.random.fold_in(rng, 1_000_000 + vi))
+                    n_val += 1
                     for key, val_loss in val_losses.items():
-                        tracker_meter.update(float(val_loss), key=f"val/{key}")
+                        prev = val_sums.get(key)
+                        val_sums[key] = val_loss if prev is None else prev + val_loss
+                for key, total in val_sums.items():
+                    tracker_meter.update(float(total) / max(n_val, 1), key=f"val/{key}")
 
                 total_loss = 0.0
                 for key, value in tracker_meter.avg.items():
