@@ -33,14 +33,25 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-def use_flash(q_shape: tuple[int, ...], backend: str | None = None) -> bool:
-    """Flash beats XLA SDPA at every benchmarked shape on v5e with the tuned
-    512x512 blocks (1.2-13.5x fwd; XLA OOMs in bwd beyond ~4k tokens), so TPU
-    always dispatches to the kernel. Head dim only needs VPU lane alignment
-    (the tile's trailing block equals the full head dim)."""
+FLASH_MIN_SEQ = 1024
+
+
+def use_flash(q_shape: tuple[int, ...], kv_len: int | None = None,
+              backend: str | None = None) -> bool:
+    """v5e measurements with the tuned 512x512 blocks: XLA SDPA wins below
+    ~1k tokens (its fused short-seq path is excellent); flash wins above
+    (1.2x at 1k, 1.5x at 4k, 13.5x at 8k, and XLA OOMs in backward beyond
+    ~4k where flash runs fine). Head dim only needs lane alignment (the
+    tile's trailing block equals the full head dim)."""
     backend = backend or jax.default_backend()
     head_dim = q_shape[-1]
-    return backend == "tpu" and head_dim % 8 == 0 and head_dim <= 512
+    seq = max(q_shape[1], kv_len or 0)
+    return (
+        backend == "tpu"
+        and head_dim % 8 == 0
+        and head_dim <= 512
+        and seq >= FLASH_MIN_SEQ
+    )
 
 
 def dot_product_attention(
@@ -56,7 +67,7 @@ def dot_product_attention(
     Returns [B, Sq, H, D] in q's dtype.
     """
     assert impl in ("auto", "flash", "xla")
-    if impl == "flash" or (impl == "auto" and use_flash(q.shape)):
+    if impl == "flash" or (impl == "auto" and use_flash(q.shape, k.shape[1])):
         return _flash_path(q, k, v, kv_mask, scale)
     return _xla_path(q, k, v, kv_mask, scale)
 

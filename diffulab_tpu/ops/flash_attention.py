@@ -117,8 +117,8 @@ def _flash_forward(q, k, v, kv_mask, sm_scale, block_q, block_k, interpret):
     ]
     args = [q, k, v]
     if kv_mask is not None:
-        in_specs.append(pl.BlockSpec((1, block_k), lambda bi, hi, qi, ki: (bi, ki)))
-        args.append(kv_mask.astype(jnp.int32))
+        in_specs.append(pl.BlockSpec((1, 1, block_k), lambda bi, hi, qi, ki: (bi, 0, ki)))
+        args.append(kv_mask.astype(jnp.int32)[:, None, :])
         kernel = functools.partial(_fwd_kernel, sm_scale=sm_scale, n_kv=n_kv)
     else:
         def kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr):
@@ -242,7 +242,7 @@ def _flash_backward(q, k, v, kv_mask, o, lse, do, sm_scale, block_q, block_k, in
     di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1, keepdims=True)  # [B,H,Sq,1]
 
     has_mask = kv_mask is not None
-    mask_arg = [kv_mask.astype(jnp.int32)] if has_mask else []
+    mask_arg = [kv_mask.astype(jnp.int32)[:, None, :]] if has_mask else []
 
     # --- dKV: grid (B, H, n_kv, n_q), accumulate over q tiles -------------
     dkv_in_specs = [
@@ -254,7 +254,7 @@ def _flash_backward(q, k, v, kv_mask, o, lse, do, sm_scale, block_q, block_k, in
         pl.BlockSpec((1, 1, block_q, 1), lambda bi, hi, ki, qi: (bi, hi, qi, 0)),   # di
     ]
     if has_mask:
-        dkv_in_specs.append(pl.BlockSpec((1, block_k), lambda bi, hi, ki, qi: (bi, ki)))
+        dkv_in_specs.append(pl.BlockSpec((1, 1, block_k), lambda bi, hi, ki, qi: (bi, 0, ki)))
         dkv_kernel = functools.partial(_bwd_dkv_kernel, sm_scale=sm_scale, n_q=n_q)
     else:
         def dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref, dk_scr, dv_scr):
@@ -293,7 +293,7 @@ def _flash_backward(q, k, v, kv_mask, o, lse, do, sm_scale, block_q, block_k, in
         pl.BlockSpec((1, 1, block_q, 1), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),   # di
     ]
     if has_mask:
-        dq_in_specs.append(pl.BlockSpec((1, block_k), lambda bi, hi, qi, ki: (bi, ki)))
+        dq_in_specs.append(pl.BlockSpec((1, 1, block_k), lambda bi, hi, qi, ki: (bi, 0, ki)))
         dq_kernel = functools.partial(_bwd_dq_kernel, sm_scale=sm_scale, n_kv=n_kv)
     else:
         def dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, dq_scr):
