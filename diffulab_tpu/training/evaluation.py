@@ -1,0 +1,119 @@
+"""Sample-quality evaluation: FID (Frechet distance) over pluggable features.
+
+The north-star metric is FID parity (BASELINE.md); the reference ships no
+evaluation code at all. This module computes the Frechet distance between
+feature distributions:
+
+    FID = |mu_r - mu_f|^2 + tr(C_r + C_f - 2 (C_r C_f)^{1/2})
+
+with the matrix square root via eigendecomposition of the symmetrized
+product (numerically stable for PSD covariances). Features come from any
+callable mapping image batches to [B, D] vectors — classic InceptionV3 pool3
+features when a local checkpoint is available, or a DINOv2 encoder
+(``dinov2_features``), whose Frechet distance (FDD) is a stronger
+discriminator than Inception-FID in recent literature.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FeatureFn = Callable[[np.ndarray], np.ndarray]
+
+
+def _matrix_sqrt_psd(mat: np.ndarray) -> np.ndarray:
+    """Square root of a (nearly) PSD symmetric matrix via eigendecomposition."""
+    vals, vecs = np.linalg.eigh((mat + mat.T) / 2.0)
+    vals = np.clip(vals, 0.0, None)
+    return (vecs * np.sqrt(vals)) @ vecs.T
+
+
+def frechet_distance(mu1: np.ndarray, sigma1: np.ndarray,
+                     mu2: np.ndarray, sigma2: np.ndarray) -> float:
+    """Frechet distance between two Gaussians.
+
+    tr((C1 C2)^{1/2}) is computed as tr((C1^{1/2} C2 C1^{1/2})^{1/2}), which is
+    symmetric-PSD by construction (avoids sqrtm on a non-symmetric product).
+    """
+    diff = mu1 - mu2
+    s1_half = _matrix_sqrt_psd(sigma1)
+    covmean = _matrix_sqrt_psd(s1_half @ sigma2 @ s1_half)
+    return float(diff @ diff + np.trace(sigma1) + np.trace(sigma2) - 2.0 * np.trace(covmean))
+
+
+def feature_statistics(features: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(mean, covariance) of [N, D] features (fp64 accumulation)."""
+    features = np.asarray(features, np.float64)
+    mu = features.mean(axis=0)
+    sigma = np.cov(features, rowvar=False)
+    return mu, np.atleast_2d(sigma)
+
+
+def compute_fid(real_features: np.ndarray, fake_features: np.ndarray) -> float:
+    mu_r, sig_r = feature_statistics(real_features)
+    mu_f, sig_f = feature_statistics(fake_features)
+    return frechet_distance(mu_r, sig_r, mu_f, sig_f)
+
+
+def extract_features(
+    images: Iterable[np.ndarray],
+    feature_fn: FeatureFn,
+    batch_size: int = 64,
+) -> np.ndarray:
+    """Run a feature fn over image batches; images NHWC in [-1, 1] or [0, 1]."""
+    chunks = []
+    buffer: list[np.ndarray] = []
+    for img in images:
+        buffer.append(np.asarray(img))
+        if len(buffer) == batch_size:
+            chunks.append(np.asarray(feature_fn(np.stack(buffer))))
+            buffer = []
+    if buffer:
+        chunks.append(np.asarray(feature_fn(np.stack(buffer))))
+    return np.concatenate(chunks, axis=0)
+
+
+def dinov2_features(encoder) -> FeatureFn:
+    """Mean-pooled DINOv2 patch features as the FID feature space (FDD)."""
+    pooled = jax.jit(lambda x: encoder(x).mean(axis=1))
+
+    def fn(batch: np.ndarray) -> np.ndarray:
+        x = jnp.asarray(batch, jnp.float32)
+        x = jnp.clip(x * 0.5 + 0.5, 0.0, 1.0) if float(x.min()) < 0 else x
+        return np.asarray(pooled(x))
+
+    return fn
+
+
+def evaluate_fid(
+    diffuser,
+    real_images: np.ndarray,
+    cond: dict,
+    feature_fn: FeatureFn,
+    n_samples: int | None = None,
+    batch_size: int = 32,
+    guidance_scale: float = 0.0,
+    seed: int = 0,
+    data_shape: tuple[int, ...] | None = None,
+) -> float:
+    """Sample from the diffuser and compute FID against ``real_images``."""
+    n = n_samples or len(real_images)
+    rng = jax.random.key(seed)
+    shape = data_shape or real_images.shape[1:]
+    fakes = []
+    for start in range(0, n, batch_size):
+        bsz = min(batch_size, n - start)
+        sub_cond = jax.tree.map(lambda v: v[start % len(real_images):][:bsz], cond)
+        out = diffuser.generate(
+            jax.random.fold_in(rng, start), sub_cond,
+            data_shape=(bsz, *shape), guidance_scale=guidance_scale, clamp_x=True,
+        )
+        fakes.append(np.asarray(out["x"], np.float32))
+    fake = np.concatenate(fakes, axis=0)
+    real_feats = extract_features(real_images[:n], feature_fn, batch_size)
+    fake_feats = extract_features(fake, feature_fn, batch_size)
+    return compute_fid(real_feats, fake_feats)
