@@ -244,9 +244,16 @@ class BaseTrainer(Trainer):
             set_kwargs["shift"] = step_shift
         diffuser.set_steps(val_steps, **set_kwargs)
         try:
+            val_batch = self._host_embed(val_batch, diffuser)
             model_inputs = dict(val_batch["model_inputs"])
             x_ref = np.asarray(model_inputs.pop("x"))
             n = min(8, x_ref.shape[0])
+            captions_raw = model_inputs.pop("initial_context", None)
+            # only array conditioning crosses into the jitted sampler
+            model_inputs = {
+                k: v for k, v in model_inputs.items()
+                if not isinstance(v, (list, tuple, str))
+            }
             cond = jax.tree.map(lambda v: v[:n], model_inputs)
             if diffuser.vision_tower is not None:
                 data_shape = x_ref.shape[1:]
@@ -259,10 +266,7 @@ class BaseTrainer(Trainer):
             )
             images = np.asarray(out["x"], dtype=np.float32) * 0.5 + 0.5
             images = np.clip(images, 0, 1)
-            captions = None
-            raw_ctx = model_inputs.get("captions")
-            if isinstance(raw_ctx, (list, tuple)):
-                captions = list(raw_ctx[:n])
+            captions = list(captions_raw[:n]) if isinstance(captions_raw, (list, tuple)) else None
             self.tracker.log_images(images, step=epoch + 1, captions=captions)
         finally:
             diffuser.diffusion = original

@@ -112,3 +112,24 @@ def test_trainer_host_embedding_path(tmp_path):
 
     rows = [json.loads(line) for line in (tmp_path / "hf_embed" / "metrics.jsonl").read_text().splitlines()]
     assert any("train/loss" in r and np.isfinite(r["train/loss"]) for r in rows)
+
+
+def test_log_images_with_text_conditioning(tmp_path):
+    """Validation image grids work for text-conditioned models (strings must
+    be host-embedded and stripped before the jitted sampler)."""
+    emb = QwenTextEmbedder(hidden_size=16, encode_fn=_stub_encode())
+    model = MMDiT(
+        simple_dit=False, input_channels=3, inner_dim=32, embedding_dim=32, num_heads=2,
+        mlp_ratio=2, patch_size=2, depth=1, classifier_free=True,
+        context_embedder=emb, rngs=nnx.Rngs(0),
+    )
+    diffuser = Diffuser(model, sampling_method="euler", model_type="rectified_flow", n_steps=4)
+    emb.embed_host([""])  # warm null cache
+
+    val_batch = {"model_inputs": {
+        "x": np.random.default_rng(0).normal(size=(2, 8, 8, 3)).astype(np.float32),
+        "initial_context": ["a cat", "a dog"],
+    }}
+    trainer = BaseTrainer(n_epoch=1, save_path=tmp_path, project_name="timg", use_ema=False)
+    trainer.log_images(diffuser, val_batch, epoch=0, val_steps=2, guidance_scale=2.0)
+    assert any((tmp_path / "timg" / "images").glob("*.png"))
