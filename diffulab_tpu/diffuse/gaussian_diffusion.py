@@ -32,7 +32,6 @@ from diffulab_tpu.diffuse.schedules import (
     respace_betas,
     space_timesteps,
 )
-from diffulab_tpu.utils import flatten_nonbatch_mean
 
 ModelFn = Callable[..., dict[str, jax.Array]]
 

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import itertools
 import re
-from typing import Any, Callable, Sequence
+from typing import Callable, Sequence
 
 import numpy as np
 
