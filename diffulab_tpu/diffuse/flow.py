@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from diffulab_tpu.diffuse.samplers.common import StepResult
-from diffulab_tpu.diffuse.samplers.flow import Euler, EulerMaruyama
+from diffulab_tpu.diffuse.samplers.flow import Euler, EulerMaruyama, Heun
 from diffulab_tpu.diffuse.schedules import flow_linear_timesteps, shift_timestep
 from diffulab_tpu.utils import batch_broadcast, flatten_nonbatch_mean
 
@@ -44,6 +44,7 @@ ModelFn = Callable[..., dict[str, jax.Array]]
 SAMPLER_REGISTRY = {
     "euler": Euler,
     "euler_maruyama": EulerMaruyama,
+    "heun": Heun,
 }
 
 
@@ -208,6 +209,11 @@ class Flow:
         sampler_args: dict[str, Any] | None = None,
     ) -> StepResult:
         v = self.get_v(model_fn, x, cond, t_curr, guidance_scale, use_cfg)
+        if getattr(self.sampler, "needs_second_eval", False):
+            # Heun corrector: second velocity eval at the Euler-predicted point
+            x_pred = self.sampler.predict(x, v, t_curr, t_prev)
+            v2 = self.get_v(model_fn, x_pred, cond, t_prev, guidance_scale, use_cfg)
+            return self.sampler.step(x, v, t_curr, t_prev, v2=v2, rng=rng, **(sampler_args or {}))
         return self.sampler.step(x, v, t_curr, t_prev, rng=rng, **(sampler_args or {}))
 
     # --- full reverse process (scan-fused) -------------------------------------

@@ -1,5 +1,5 @@
 from diffulab_tpu.diffuse.samplers.common import FlowSampler, GaussianSampler, Sampler, StepResult
-from diffulab_tpu.diffuse.samplers.flow import Euler, EulerMaruyama
+from diffulab_tpu.diffuse.samplers.flow import Euler, EulerMaruyama, Heun
 from diffulab_tpu.diffuse.samplers.gaussian import DDIM, DDPM
 
 __all__ = [
@@ -7,6 +7,7 @@ __all__ = [
     "DDPM",
     "Euler",
     "EulerMaruyama",
+    "Heun",
     "FlowSampler",
     "GaussianSampler",
     "Sampler",

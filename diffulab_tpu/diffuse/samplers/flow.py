@@ -97,3 +97,43 @@ class EulerMaruyama(FlowSampler):
             "x_prev_std": jnp.broadcast_to(x_prev_std, (1,)),
             "logprob": logprob,
         }
+
+
+@dataclasses.dataclass(frozen=True)
+class Heun(FlowSampler):
+    """Second-order Heun (predictor-corrector) ODE step.
+
+    Not in the reference (its flow samplers are Euler and Euler-Maruyama);
+    added per the project north star's sampler list. The formalization
+    supplies the corrector velocity ``v2`` evaluated at the Euler-predicted
+    point (Flow.one_step_denoise runs the second model eval):
+
+        x_e    = x_t - v * dt            (predictor)
+        x_prev = x_t - dt/2 * (v + v2)   (trapezoidal corrector)
+    """
+
+    name = "heun"
+    needs_second_eval = True
+
+    def predict(self, x_t: jax.Array, v: jax.Array, t_curr, t_prev) -> jax.Array:
+        return x_t - v * (t_curr - t_prev)
+
+    def step(
+        self,
+        x_t: jax.Array,
+        v: jax.Array,
+        t_curr: jax.Array,
+        t_prev: jax.Array,
+        *,
+        v2: jax.Array | None = None,
+        rng: jax.Array | None = None,
+        x_prev: jax.Array | None = None,
+    ) -> StepResult:
+        del rng, x_prev
+        dt = t_curr - t_prev
+        if v2 is None:  # degrade to Euler when no corrector velocity is given
+            v2 = v
+        return {
+            "x_prev": x_t - 0.5 * dt * (v + v2),
+            "estimated_x0": x_t - v * t_curr,
+        }
