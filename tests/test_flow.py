@@ -190,3 +190,10 @@ def test_heun_beats_euler_on_time_varying_field():
     e_heun = float(jnp.abs(Flow(n_steps=8, sampling_method="heun").denoise(
         model_fn, {}, jax.random.key(0), x=x1)["x"] - exact_x0).max())
     assert e_heun < e_euler / 10
+
+
+def test_flow_sampler_parameters_plumb_through():
+    flow = Flow(n_steps=10, sampling_method="euler_maruyama",
+                sampler_parameters={"eta": 0.9})
+    assert flow.sampler.eta == 0.9
+    assert flow.sampler.tmax == float(flow.timesteps[1])

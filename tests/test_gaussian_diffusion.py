@@ -145,3 +145,10 @@ def test_ddim_with_eta_returns_logprob():
     res = s.step(pred, jnp.array([5, 5]), jnp.ones((2, 4)), rng=jax.random.key(0))
     assert "logprob" in res and "x_prev_std" in res
     assert np.isfinite(np.asarray(res["logprob"])).all()
+
+
+def test_sampler_parameters_plumb_through():
+    gd = GaussianDiffusion(n_steps=100, sampling_method="ddim",
+                           sampler_parameters={"eta": 0.3, "var_type": "fixed_large"})
+    assert gd.sampler.eta == 0.3
+    assert gd.sampler.var_type == "fixed_large"
