@@ -25,7 +25,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from diffulab_tpu.diffuse.samplers.common import StepResult
-from diffulab_tpu.diffuse.samplers.gaussian import DDIM, DDPM
+from diffulab_tpu.diffuse.samplers.gaussian import (
+    DDIM,
+    DDPM,
+    discretized_gaussian_log_likelihood,
+    normal_kl,
+)
 from diffulab_tpu.diffuse.schedules import (
     extract_into_tensor,
     get_variance_schedule,
@@ -145,20 +150,44 @@ class GaussianDiffusion:
         drop: jax.Array | None = None,
         extra_losses: Sequence[Any] = (),
         extra_args: dict[str, Any] | None = None,
+        vlb_weight: float = 1e-3,
     ) -> dict[str, jax.Array]:
-        """Epsilon-prediction MSE (reference :268-311).
-
-        TODO parity note: like the reference (its TODO at :267), alternative
-        parameterizations / learned-variance losses are not implemented for
-        training; learned variance is supported at sampling time only.
+        """Epsilon-prediction MSE (reference :268-311) plus, when the sampler
+        uses a learned variance, the Improved-DDPM hybrid VLB term (the
+        reference leaves this as a TODO at :267): KL(q(x_{t-1}|x_t,x_0) ||
+        p_theta) with the predicted mean stop-gradiented so only the variance
+        head trains through it; discretized Gaussian NLL at t=0.
         """
         xt, noise = self.add_noise(x0, timesteps, noise)
         if drop is None:
             drop = jnp.zeros((x0.shape[0],), dtype=bool)
         model_timesteps = self._map_timesteps(timesteps)
         prediction = model_fn(x=xt, timesteps=model_timesteps, cond=cond, drop=drop)
-        loss = jnp.mean((prediction["x"].astype(jnp.float32) - noise) ** 2)
+        out = prediction["x"].astype(jnp.float32)
+
+        learned_var = self.sampler.var_type in ("learned", "learned_range")
+        if learned_var:
+            eps_pred, _ = jnp.split(out, 2, axis=-1)
+        else:
+            eps_pred = out
+        loss = jnp.mean((eps_pred - noise) ** 2)
         loss_dict = {"loss": loss}
+
+        if learned_var:
+            # freeze the mean for the VLB term (Improved DDPM eq. 16)
+            frozen = jnp.concatenate(
+                [jax.lax.stop_gradient(eps_pred), out[..., eps_pred.shape[-1]:]], axis=-1
+            )
+            mean, _, log_var, _ = self.sampler._get_p_mean_var(frozen, xt, timesteps)
+            q_mean = self.sampler._get_mean_from_x_start(xt, x0, timesteps)
+            q_log_var = extract_into_tensor(
+                self.sampler.posterior_log_variance_clipped, timesteps, xt.ndim
+            )
+            kl = normal_kl(q_mean, q_log_var, mean, log_var) / jnp.log(2.0)
+            nll = -discretized_gaussian_log_likelihood(x0, mean, 0.5 * log_var) / jnp.log(2.0)
+            t_mask = (timesteps == 0).reshape(-1, *([1] * (xt.ndim - 1)))
+            vlb = jnp.where(t_mask, nll, kl)
+            loss_dict["vlb"] = vlb_weight * vlb.reshape(vlb.shape[0], -1).mean(axis=-1).mean()
         for extra_loss in extra_losses:
             loss_dict[extra_loss.name] = extra_loss(model_output=prediction, **(extra_args or {}))
         return loss_dict

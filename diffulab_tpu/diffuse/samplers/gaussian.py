@@ -227,3 +227,41 @@ class DDIM(DDPM):
             out["x_prev_std"] = ddim_std
             out["logprob"] = logprob
         return out
+
+
+# --------------------------------------------------------------------------- #
+# Variational-bound terms (Improved DDPM, Nichol & Dhariwal 2021) — used by
+# GaussianDiffusion's hybrid learned-variance training loss. The reference
+# leaves this unimplemented (its TODO at gaussian_diffusion.py:267); provided
+# here so learned/learned_range variance heads can actually train.
+# --------------------------------------------------------------------------- #
+
+
+def normal_kl(mean1, logvar1, mean2, logvar2):
+    """KL(N(mean1, e^logvar1) || N(mean2, e^logvar2)), elementwise."""
+    return 0.5 * (
+        -1.0 + logvar2 - logvar1 + jnp.exp(logvar1 - logvar2)
+        + ((mean1 - mean2) ** 2) * jnp.exp(-logvar2)
+    )
+
+
+def _approx_standard_normal_cdf(x):
+    return 0.5 * (1.0 + jnp.tanh(jnp.sqrt(2.0 / math.pi) * (x + 0.044715 * x**3)))
+
+
+def discretized_gaussian_log_likelihood(x, means, log_scales):
+    """log p(x) for images discretized to 255 bins, x in [-1, 1]."""
+    centered = x - means
+    inv_stdv = jnp.exp(-log_scales)
+    plus_in = inv_stdv * (centered + 1.0 / 255.0)
+    min_in = inv_stdv * (centered - 1.0 / 255.0)
+    cdf_plus = _approx_standard_normal_cdf(plus_in)
+    cdf_min = _approx_standard_normal_cdf(min_in)
+    log_cdf_plus = jnp.log(jnp.clip(cdf_plus, 1e-12, None))
+    log_one_minus_cdf_min = jnp.log(jnp.clip(1.0 - cdf_min, 1e-12, None))
+    cdf_delta = cdf_plus - cdf_min
+    return jnp.where(
+        x < -0.999,
+        log_cdf_plus,
+        jnp.where(x > 0.999, log_one_minus_cdf_min, jnp.log(jnp.clip(cdf_delta, 1e-12, None))),
+    )

@@ -152,3 +152,38 @@ def test_sampler_parameters_plumb_through():
                            sampler_parameters={"eta": 0.3, "var_type": "fixed_large"})
     assert gd.sampler.eta == 0.3
     assert gd.sampler.var_type == "fixed_large"
+
+
+def test_learned_variance_hybrid_training_loss():
+    """Hybrid VLB loss: finite, gradients reach the variance head, and the
+    MSE part ignores the variance channels (Improved DDPM)."""
+    gd = GaussianDiffusion(n_steps=100, sampler_parameters={"var_type": "learned_range"})
+    rng = jax.random.key(0)
+    x0 = jax.random.normal(rng, (4, 8, 8, 2))
+    noise = jax.random.normal(jax.random.key(1), (4, 8, 8, 2))
+    t = jnp.array([0, 10, 50, 99])
+
+    def make_model(var_value):
+        def model_fn(x, timesteps, cond, drop):
+            return {"x": jnp.concatenate([noise, jnp.full_like(x, var_value)], axis=-1)}
+        return model_fn
+
+    losses = gd.compute_loss(make_model(0.0), x0, {}, t, noise)
+    assert set(losses) == {"loss", "vlb"}
+    assert float(losses["loss"]) < 1e-10  # perfect eps prediction
+    assert np.isfinite(float(losses["vlb"]))
+    # vlb responds to the variance head while mse does not
+    losses_hi = gd.compute_loss(make_model(0.9), x0, {}, t, noise)
+    assert float(losses_hi["loss"]) < 1e-10
+    assert abs(float(losses_hi["vlb"]) - float(losses["vlb"])) > 1e-8
+
+
+def test_fixed_variance_loss_unchanged():
+    gd = GaussianDiffusion(n_steps=100)
+    rng = jax.random.key(0)
+    x0 = jax.random.normal(rng, (2, 4, 4, 1))
+    noise = jax.random.normal(jax.random.key(1), (2, 4, 4, 1))
+    losses = gd.compute_loss(lambda x, timesteps, cond, drop: {"x": noise},
+                             x0, {}, jnp.array([5, 50]), noise)
+    assert set(losses) == {"loss"}
+    assert float(losses["loss"]) < 1e-10
