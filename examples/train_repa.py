@@ -44,9 +44,11 @@ def main() -> None:
     denoiser = instantiate(cfg["model"], rngs=rngs)
 
     resampler_cfg = cfg.get("perceiver_resampler", {})
+    repa_cfg = cfg.get("repa", {})
     repa_loss = RepaLoss(
         denoiser_dimension=cfg["model"]["inner_dim"],
-        embedding_dim=1024,  # precomputed DINOv2-L feature dim
+        alignment_layer=repa_cfg.get("alignment_layer", 8),
+        embedding_dim=repa_cfg.get("embedding_dim", 1024),  # precomputed DINOv2-L feature dim
         load_dino=False,
         use_resampler=resampler_cfg.get("use_resampler", False),
         resampler_params=resampler_cfg.get("parameters"),
