@@ -255,10 +255,7 @@ class BaseTrainer(Trainer):
                 if not isinstance(v, (list, tuple, str))
             }
             cond = jax.tree.map(lambda v: v[:n], model_inputs)
-            if diffuser.vision_tower is not None:
-                data_shape = x_ref.shape[1:]
-            else:
-                data_shape = x_ref.shape[1:]
+            data_shape = x_ref.shape[1:]  # latent-space shape when a tower is set
             out = diffuser.generate(
                 rng if rng is not None else jax.random.key(epoch),
                 cond, data_shape=(n, *data_shape),

@@ -71,15 +71,87 @@ def test_diagonal_gaussian_mean_vs_sample():
     assert abs(float(sample.mean()) - 3.0) < 1.5
 
 
+def _tiny_dcae(**kw):
+    return DCAE(
+        block_out_channels=(8, 16, 16),
+        block_types=("res", "vit", "vit"),
+        encoder_layers_per_block=(1, 1, 1),
+        decoder_layers_per_block=(1, 1, 1),
+        latent_channels=8,
+        qkv_multiscales=((), (5,), (5,)),
+        attention_head_dim=4,
+        rngs=nnx.Rngs(0),
+        **kw,
+    )
+
+
 def test_dcae_shapes():
-    vae = DCAE(base_channels=8, ch_mult=(1, 2, 2), num_res_blocks=1, latent_channels=8,
-               rngs=nnx.Rngs(0))
+    vae = _tiny_dcae()
     x = jax.random.uniform(jax.random.key(0), (1, 16, 16, 3))
     z = vae.encode(x)
     assert z.shape == (1, 4, 4, 8)  # f4 (2 downsamples)
     assert vae.compression_factor == 4
     out = vae.decode(z)
     assert out.shape == (1, 16, 16, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_dcae_interpolate_upsample():
+    vae = _tiny_dcae(upsample_mode="interpolate")
+    z = jax.random.normal(jax.random.key(0), (1, 4, 4, 8))
+    assert vae.decode(z).shape == (1, 16, 16, 3)
+
+
+def test_dcae_residual_shortcuts():
+    """Space-to-channel shortcuts are parameter-free group means/duplication."""
+    from diffulab_tpu.networks.vision_towers.dc_ae import (
+        DCDownBlock,
+        _channel_group_mean,
+        _depth_to_space,
+        _space_to_depth,
+    )
+
+    x = jax.random.normal(jax.random.key(0), (2, 8, 8, 4))
+    # s2d/d2s are exact inverses
+    np.testing.assert_allclose(
+        np.asarray(_depth_to_space(_space_to_depth(x))), np.asarray(x)
+    )
+    # torch channel order: ch = c*4 + subpixel(dy*2+dx)
+    s2d = np.asarray(_space_to_depth(x))
+    np.testing.assert_allclose(s2d[0, 0, 0, 1], np.asarray(x)[0, 0, 1, 0])  # dx=1
+    np.testing.assert_allclose(s2d[0, 0, 0, 4], np.asarray(x)[0, 0, 0, 1])  # c=1
+    # group mean: consecutive channel pairs averaged
+    gm = np.asarray(_channel_group_mean(x, 2))
+    np.testing.assert_allclose(gm[..., 0], np.asarray(x)[..., :2].mean(-1), rtol=1e-6)
+    # down block with a zeroed conv reduces to the pure shortcut
+    down = DCDownBlock(4, 8, rngs=nnx.Rngs(0))
+    down.conv.kernel[...] = 0.0
+    down.conv.bias[...] = 0.0
+    np.testing.assert_allclose(
+        np.asarray(down(x)),
+        np.asarray(_channel_group_mean(_space_to_depth(x), 8)),
+        rtol=1e-6,
+    )
+
+
+def test_litemla_matches_quadratic_reference():
+    """ReLU linear attention == explicit relu(q)relu(k)^T v / relu(q)relu(k)^T 1."""
+    from diffulab_tpu.networks.vision_towers.dc_ae import LiteMLA
+
+    mla = LiteMLA(8, head_dim=4, multiscales=(), rngs=nnx.Rngs(0))
+    qkv = jax.random.normal(jax.random.key(1), (2, 4, 4, 24))
+    out = np.asarray(mla._attend(qkv))
+
+    q, k, v = np.split(np.asarray(qkv).reshape(2, 16, 24), 3, axis=-1)
+    q, k = np.maximum(q, 0), np.maximum(k, 0)
+    ref = np.zeros((2, 16, 8))
+    for h in range(2):  # heads
+        sl = slice(h * 4, (h + 1) * 4)
+        scores = q[:, :, sl] @ k[:, :, sl].transpose(0, 2, 1)  # [B,S,S]
+        ref[:, :, sl] = (scores @ v[:, :, sl]) / (
+            scores.sum(-1, keepdims=True) + 1e-15
+        )
+    np.testing.assert_allclose(out.reshape(2, 16, 8), ref, rtol=1e-4, atol=1e-5)
 
 
 def test_vision_tower_compute_on_dataset(tmp_path):

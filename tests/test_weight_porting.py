@@ -159,3 +159,101 @@ def test_pos_embed_resample():
     out = resample_abs_pos_embed(pos, (8, 8))
     assert out.shape == (1, 65, 8)
     np.testing.assert_allclose(out[:, :1], pos[:, :1])  # prefix preserved
+
+
+def _dc_ae_state_dict():
+    """Synthetic diffusers AutoencoderDC state dict for the tiny config
+    (channels (8,16), types (res,vit), 1 layer/block, latent 4, ms (5,))."""
+    rng = np.random.default_rng(0)
+    sd = {}
+
+    def conv(prefix, cin, cout, k=3, bias=True, groups=1):
+        sd[prefix + ".weight"] = rng.normal(
+            scale=0.05, size=(cout, cin // groups, k, k)
+        ).astype(np.float32)
+        if bias:
+            sd[prefix + ".bias"] = rng.normal(scale=0.01, size=(cout,)).astype(np.float32)
+
+    def lin(prefix, cin, cout):
+        sd[prefix + ".weight"] = rng.normal(scale=0.05, size=(cout, cin)).astype(np.float32)
+
+    def norm(prefix, c):
+        sd[prefix + ".weight"] = rng.normal(1.0, 0.01, size=(c,)).astype(np.float32)
+        sd[prefix + ".bias"] = rng.normal(0.0, 0.01, size=(c,)).astype(np.float32)
+
+    def res(prefix, c):
+        conv(prefix + ".conv1", c, c)
+        conv(prefix + ".conv2", c, c, bias=False)
+        norm(prefix + ".norm", c)
+
+    def vit(prefix, c):
+        for n in ("to_q", "to_k", "to_v"):
+            lin(f"{prefix}.attn.{n}", c, c)
+        conv(f"{prefix}.attn.to_qkv_multiscale.0.proj", 3 * c, 3 * c, k=5, bias=True,
+             groups=3 * c)
+        lin(f"{prefix}.attn.to_out", 2 * c, c)
+        norm(f"{prefix}.attn.norm_out", c)
+        h = 4 * c
+        conv(f"{prefix}.conv_out.conv_inverted", c, 2 * h, k=1)
+        conv(f"{prefix}.conv_out.conv_depth", 2 * h, 2 * h, k=3, groups=2 * h)
+        conv(f"{prefix}.conv_out.conv_point", h, c, k=1, bias=False)
+        norm(f"{prefix}.conv_out.norm", c)
+
+    conv("encoder.conv_in", 3, 8)
+    res("encoder.down_blocks.0.0", 8)
+    conv("encoder.down_blocks.1.0.conv", 8, 16)  # DCDownBlock
+    vit("encoder.down_blocks.1.1", 16)
+    conv("encoder.conv_out", 16, 4)
+
+    conv("decoder.conv_in", 4, 16)
+    vit("decoder.up_blocks.0.0", 16)
+    conv("decoder.up_blocks.1.0.conv", 16, 8 * 4)  # DCUpBlock pixel_shuffle
+    res("decoder.up_blocks.1.1", 8)
+    norm("decoder.norm_out", 8)
+    conv("decoder.conv_out", 8, 3)
+    return sd
+
+
+def test_dc_ae_state_dict_ports_and_runs():
+    from diffulab_tpu.networks.vision_towers.dc_ae import DCAE, load_dc_ae_state_dict
+
+    vae = DCAE(
+        block_out_channels=(8, 16),
+        block_types=("res", "vit"),
+        encoder_layers_per_block=(1, 1),
+        decoder_layers_per_block=(1, 1),
+        latent_channels=4,
+        qkv_multiscales=((), (5,)),
+        attention_head_dim=4,
+        rngs=nnx.Rngs(0),
+    )
+    sd = _dc_ae_state_dict()
+    load_dc_ae_state_dict(vae, sd)
+    np.testing.assert_allclose(
+        np.asarray(vae.encoder.conv_in.kernel[...]),
+        np.transpose(sd["encoder.conv_in.weight"], (2, 3, 1, 0)),
+    )
+    x = jax.random.uniform(jax.random.key(0), (1, 8, 8, 3))
+    z = vae.encode(x)
+    assert z.shape == (1, 4, 4, 4)
+    out = vae.decode(z)
+    assert out.shape == (1, 8, 8, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_dc_ae_port_rejects_unmatched_keys():
+    from diffulab_tpu.networks.vision_towers.dc_ae import DCAE, load_dc_ae_state_dict
+
+    vae = DCAE(
+        block_out_channels=(8, 16), block_types=("res", "vit"),
+        encoder_layers_per_block=(1, 1), decoder_layers_per_block=(1, 1),
+        latent_channels=4, qkv_multiscales=((), (5,)), attention_head_dim=4,
+        rngs=nnx.Rngs(0),
+    )
+    sd = _dc_ae_state_dict()
+    sd["encoder.bogus.weight"] = np.zeros((1,), np.float32)
+    try:
+        load_dc_ae_state_dict(vae, sd)
+        raise RuntimeError("should have raised")
+    except AssertionError as e:
+        assert "unmatched" in str(e)
