@@ -79,11 +79,24 @@ def _xla_path(q, k, v, kv_mask, scale):
     return jax.nn.dot_product_attention(q, k, v, mask=mask, scale=scale)
 
 
+TUNED_BLOCK = 512
+
+
+def _pad_target(s: int) -> int:
+    """Pad to a multiple of the tuned 512 block once the sequence is at
+    least one block long. 512x512 tiles are ~3.2x faster than the 128x128
+    fallback, which dwarfs the padded work (worst case +33% at 1152->1536;
+    e.g. 4224-token txt2img would otherwise silently run 128-blocks because
+    4224 = 2^7 * 33 has no larger power-of-two divisor). Padded KV columns
+    are masked; padded Q rows are sliced off."""
+    return _round_up(s, TUNED_BLOCK if s >= TUNED_BLOCK else MIN_BLOCK)
+
+
 def _flash_path(q, k, v, kv_mask, scale, interpret: bool = False):
     b, sq, h, d = q.shape
     skv = k.shape[1]
-    sq_p = _round_up(sq, MIN_BLOCK)
-    skv_p = _round_up(skv, MIN_BLOCK)
+    sq_p = _pad_target(sq)
+    skv_p = _pad_target(skv)
 
     if kv_mask is None and skv_p != skv:
         kv_mask = jnp.ones((b, skv), dtype=bool)
@@ -96,6 +109,6 @@ def _flash_path(q, k, v, kv_mask, scale, interpret: bool = False):
     qp = jnp.swapaxes(qp, 1, 2)
     kp = jnp.swapaxes(kp, 1, 2)
     vp = jnp.swapaxes(vp, 1, 2)
-    o = flash_attention(qp, kp, vp, maskp, scale, 512, 512, interpret)
+    o = flash_attention(qp, kp, vp, maskp, scale, TUNED_BLOCK, TUNED_BLOCK, interpret)
     o = jnp.swapaxes(o, 1, 2)
     return o[:, :sq]

@@ -102,3 +102,16 @@ def test_bf16_forward(dtype):
     np.testing.assert_allclose(
         np.asarray(out_flash, np.float32), np.asarray(out_xla, np.float32), atol=3e-2, rtol=3e-2
     )
+
+
+def test_padding_to_tuned_block_matches_xla():
+    """Sequences >= 512 pad to a 512 multiple (not just 128): numerics must
+    be unaffected — padded KV columns are masked, padded Q rows sliced off."""
+    key = jax.random.key(7)
+    q = jax.random.normal(key, (1, 600, 2, 16))  # 600 -> padded to 1024
+    k = jax.random.normal(jax.random.fold_in(key, 1), (1, 600, 2, 16))
+    v = jax.random.normal(jax.random.fold_in(key, 2), (1, 600, 2, 16))
+    out = flash_interp(q, k, v, None, None)
+    ref = _xla_path(q, k, v, None, None)
+    assert out.shape == (1, 600, 2, 16)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
