@@ -145,3 +145,18 @@ def test_pipeline_rejects_bad_divisibility():
         raise RuntimeError("should have raised")
     except ValueError as e:
         assert "divisible" in str(e)
+
+
+def test_pipeline_composes_with_second_mesh_axis():
+    """Pipe stages on a 2-D (pipe, tensor) mesh: stage params replicated over
+    the tensor axis still pipeline correctly (composability with tp/fsdp)."""
+    devs = np.asarray(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devs, ("pipe", "tensor"))
+    params = _toy_params(layers=8, d=16)
+    x = jnp.asarray(np.random.default_rng(5).normal(size=(8, 16)), jnp.float32)
+    out = pipeline_apply(
+        _toy_stage, params, {"x": x}, mesh=mesh, axis="pipe", n_microbatches=4
+    )["x"]
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(_sequential(params, x)), rtol=2e-5, atol=2e-5
+    )
