@@ -88,8 +88,8 @@ def expert_parallel_mlp(
 
     Tokens shard over ``axis`` on the batch dim; expert weights shard on
     their leading expert dim; two all_to_alls move token bins to expert
-    owners and back. Returns [B, S, d] plus the router's mean gate entropy
-    (a load-balance diagnostic).
+    owners and back. Returns [B, S, d] plus an aux dict with the router's mean
+    gate entropy and the switch-transformer load-balance loss.
     """
     n_dev = mesh.shape[axis]
     b, s, d = x.shape
@@ -118,9 +118,21 @@ def expert_parallel_mlp(
                     m.w_out[...].astype(jnp.float32), binned)
         out = lax.all_to_all(out, axis, split_axis=1, concat_axis=0, tiled=True)
         yt = jnp.einsum("tec,ecd->td", combine, out)
-        entropy = -jnp.mean(jnp.sum(jax.nn.softmax(logits, -1) *
-                                    jax.nn.log_softmax(logits, -1), axis=-1))
-        return yt.reshape(x.shape).astype(x.dtype), lax.pmean(entropy, axis)
+        gates = jax.nn.softmax(logits, -1)
+        entropy = -jnp.mean(jnp.sum(gates * jax.nn.log_softmax(logits, -1), axis=-1))
+        # switch-transformer load-balance loss: E * sum_i f_i * P_i, where
+        # f_i = fraction of tokens routed to expert i, P_i = mean gate prob.
+        # Minimized (=1) at a perfectly uniform assignment; differentiable
+        # through P. Add `aux["load_balance_loss"] * coeff` (~1e-2) to the
+        # training loss when routing collapse is a concern.
+        frac = jnp.mean(jax.nn.one_hot(jnp.argmax(gates, -1), e), axis=0)
+        prob = jnp.mean(gates, axis=0)
+        balance = e * jnp.sum(lax.pmean(frac, axis) * lax.pmean(prob, axis))
+        aux = {
+            "gate_entropy": lax.pmean(entropy, axis),
+            "load_balance_loss": balance,
+        }
+        return yt.reshape(x.shape).astype(x.dtype), aux
 
     param_specs = jax.tree.map(lambda _: P(axis), params)
     # replicate the router gate across devices (it scores all experts)
@@ -129,6 +141,6 @@ def expert_parallel_mlp(
         _moe,
         mesh=mesh,
         in_specs=(param_specs, P(axis)),
-        out_specs=(P(axis), P()),
+        out_specs=(P(axis), {"gate_entropy": P(), "load_balance_loss": P()}),
         check_vma=False,
     )(params, x)

@@ -49,12 +49,14 @@ def test_expert_parallel_matches_dense():
     mlp = ExpertMlp(8, 16, 32, rngs=nnx.Rngs(0))
     x = jnp.asarray(np.random.default_rng(1).normal(size=(4, 8, 16)), jnp.float32)
     # capacity_factor = n_experts -> capacity == local token count -> no drops
-    y, entropy = jax.jit(
+    y, aux = jax.jit(
         lambda x: expert_parallel_mlp(mlp, x, mesh=mesh, capacity_factor=8.0)
     )(x)
     ref = _dense_reference(mlp, np.asarray(x))
     np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-4, atol=2e-4)
-    assert 0.0 <= float(entropy) <= np.log(8) + 1e-5
+    assert 0.0 <= float(aux["gate_entropy"]) <= np.log(8) + 1e-5
+    # load-balance loss is >= 1 (== 1 only at perfectly uniform routing)
+    assert float(aux["load_balance_loss"]) >= 1.0 - 1e-5
 
 
 def test_expert_parallel_gradients_finite():
@@ -65,8 +67,9 @@ def test_expert_parallel_gradients_finite():
 
     def loss(params, x):
         m = nnx.merge(graphdef, params)
-        y, _ = expert_parallel_mlp(m, x, mesh=mesh, capacity_factor=4.0)
-        return jnp.sum(y**2)
+        y, aux = expert_parallel_mlp(m, x, mesh=mesh, capacity_factor=4.0)
+        # include the aux loss so router grads flow too
+        return jnp.sum(y**2) + 1e-2 * aux["load_balance_loss"]
 
     g = jax.jit(jax.grad(loss))(params, x)
     leaves = jax.tree.leaves(g)
