@@ -1,0 +1,104 @@
+"""Host-side batching data loader with background prefetch.
+
+Replaces torch.utils.data.DataLoader (reference configs/dataloader/default.yaml):
+collates dataset items (numpy pytrees) into stacked batches, shuffles with a
+per-epoch seed, drops the trailing partial batch (jit wants static shapes), and
+prefetches batches on a background thread so host collation overlaps device
+compute. A custom ``sampler`` (e.g. the multi-aspect-ratio bucket sampler)
+can override the index order, yielding index lists per batch.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Callable, Iterator, Sequence
+
+import numpy as np
+
+
+def default_collate(items: Sequence[Any]) -> Any:
+    """Stack a list of numpy pytrees into one batched pytree."""
+    first = items[0]
+    if isinstance(first, dict):
+        return {k: default_collate([it[k] for it in items]) for k in first}
+    if isinstance(first, (list, tuple)) and not isinstance(first, str):
+        return type(first)(default_collate([it[i] for it in items]) for i in range(len(first)))
+    if isinstance(first, str):
+        return list(items)
+    return np.stack([np.asarray(it) for it in items], axis=0)
+
+
+class DataLoader:
+    def __init__(
+        self,
+        dataset: Any,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+        collate_fn: Callable[[Sequence[Any]], Any] | None = None,
+        sampler: Any | None = None,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.collate_fn = collate_fn or default_collate
+        self.sampler = sampler
+        self.prefetch = prefetch
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        if self.sampler is not None:
+            return len(self.sampler)
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _batch_indices(self) -> Iterator[Sequence[int]]:
+        if self.sampler is not None:
+            yield from self.sampler
+            return
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(order)
+        end = n - n % self.batch_size if self.drop_last else n
+        for start in range(0, end, self.batch_size):
+            yield order[start : start + self.batch_size]
+
+    def _make_batch(self, idx: Sequence[int]) -> Any:
+        # datasets exposing get_batch (native fused gather+normalize) skip the
+        # per-item collate loop entirely
+        if self.collate_fn is default_collate and hasattr(self.dataset, "get_batch"):
+            return self.dataset.get_batch(idx)
+        return self.collate_fn([self.dataset[int(i)] for i in idx])
+
+    def __iter__(self) -> Iterator[Any]:
+        self._epoch += 1
+        if self.prefetch <= 0:
+            for idx in self._batch_indices():
+                yield self._make_batch(idx)
+            return
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer():
+            try:
+                for idx in self._batch_indices():
+                    q.put(self._make_batch(idx))
+            finally:
+                q.put(sentinel)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        thread.join()
