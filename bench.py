@@ -80,24 +80,20 @@ def bench_train(model, diffuser, n_iters=30):
 
 
 def bench_sample(model, diffuser, n_iters=5):
-    graphdef, state = nnx.split(model)
-    diffusion = diffuser.diffusion
+    # the LIBRARY path: Diffuser.generate jits + caches the whole reverse scan
     y = jnp.zeros((SAMPLE_BATCH,), jnp.int32)
 
-    @jax.jit
-    def sample(state, rng):
-        m = nnx.merge(graphdef, state)
-        return diffusion.denoise(
-            lambda **kw: m(**kw), {"y": y}, rng,
-            data_shape=(SAMPLE_BATCH, *LATENT), guidance_scale=4.0, use_cfg=True,
-            dtype=jnp.bfloat16,
+    def sample(rng):
+        return diffuser.generate(
+            rng, {"y": y}, data_shape=(SAMPLE_BATCH, *LATENT),
+            guidance_scale=4.0, dtype=jnp.bfloat16,
         )["x"]
 
-    float(sample(state, jax.random.key(0)).sum())  # compile + complete
+    float(sample(jax.random.key(0)).sum())  # compile + complete
     t0 = time.perf_counter()
     acc = 0.0
     for i in range(n_iters):
-        acc += float(sample(state, jax.random.key(i)).sum())  # forced completion per call
+        acc += float(sample(jax.random.key(i)).sum())  # forced completion per call
     dt = (time.perf_counter() - t0) / n_iters
     return SAMPLE_BATCH / dt, dt
 

@@ -113,6 +113,48 @@ class Diffuser:
         )
 
     # --- sampling ---------------------------------------------------------------
+    def _build_sample_fn(
+        self,
+        data_shape: tuple[int, ...] | None,
+        clamp_x: bool,
+        use_cfg: bool,
+        return_intermediates: bool,
+        decode: bool,
+        dtype: jnp.dtype,
+    ) -> Callable[..., Any]:
+        """One jitted reverse-process fn for a static sampling configuration.
+
+        The NNX graphdefs ride as static args (hash-equal across calls while
+        the module structure is unchanged), the param states as traced args —
+        so updated / EMA-swapped params reuse the same executable. The whole
+        scan, CFG-fused forwards, and (in latent mode) the VAE decode compile
+        into one program (reference denoise loop: flow.py:410-524).
+        """
+        from flax import nnx
+
+        diffusion = self.diffusion
+        latent_scale = self.latent_scale if decode else None
+        latent_bias = self.latent_bias if decode else None
+
+        def sample(graphdef, tower_graphdef, state, tower_state, rng, cond, x, guidance_scale):
+            m = nnx.merge(graphdef, state)
+
+            def model_fn(**kw):
+                return m(**kw, train=False)
+
+            out = diffusion.denoise(
+                model_fn, cond, rng,
+                data_shape=data_shape, x=x, clamp_x=clamp_x,
+                guidance_scale=guidance_scale, use_cfg=use_cfg,
+                return_intermediates=return_intermediates, dtype=dtype,
+            )
+            if decode:
+                tower = nnx.merge(tower_graphdef, tower_state)
+                out["x"] = tower.decode(out["x"] / latent_scale + latent_bias)
+            return out
+
+        return jax.jit(sample, static_argnums=(0, 1))
+
     def generate(
         self,
         rng: jax.Array,
@@ -125,15 +167,36 @@ class Diffuser:
         return_latents: bool = False,
         dtype: jnp.dtype = jnp.float32,
     ) -> dict[str, jax.Array]:
-        """Generate samples; in latent mode decodes through the vision tower
-        (x / latent_scale + latent_bias, reference diffuser.py:209-228)."""
-        model_fn = self.model_fn(train=False)
-        out = self.diffusion.denoise(
-            model_fn, cond, rng,
-            data_shape=data_shape, x=x, clamp_x=clamp_x,
-            guidance_scale=guidance_scale, use_cfg=guidance_scale > 0,
-            return_intermediates=return_intermediates, dtype=dtype,
+        """Generate samples through a cached jitted sampler; in latent mode the
+        vision-tower decode (x / latent_scale + latent_bias, reference
+        diffuser.py:209-228) is fused into the same program.
+
+        One compile per (steps, shape, cfg-on/off, clamp, intermediates,
+        decode, dtype) configuration; subsequent calls — including with
+        updated or EMA-swapped parameters and different guidance strengths —
+        reuse the executable.
+        """
+        from flax import nnx
+
+        use_cfg = guidance_scale > 0
+        decode = self.vision_tower is not None and not return_latents
+        shape = tuple(data_shape) if (x is None and data_shape is not None) else None
+        key = (
+            shape, x is None, clamp_x, use_cfg, return_intermediates, decode,
+            jnp.dtype(dtype).name,
         )
-        if self.vision_tower is not None and not return_latents:
-            out["x"] = self.vision_tower.decode(out["x"] / self.latent_scale + self.latent_bias)
-        return out
+        sample = self._generate_cache.get(key)
+        if sample is None:
+            sample = self._build_sample_fn(
+                shape, clamp_x, use_cfg, return_intermediates, decode, dtype
+            )
+            self._generate_cache[key] = sample
+
+        graphdef, state = nnx.split(self.denoiser)
+        tower_graphdef = tower_state = None
+        if decode:
+            tower_graphdef, tower_state = nnx.split(self.vision_tower)
+        return sample(
+            graphdef, tower_graphdef, state, tower_state, rng, cond, x,
+            jnp.asarray(guidance_scale, jnp.float32),
+        )
