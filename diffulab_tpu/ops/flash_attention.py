@@ -17,7 +17,9 @@ the standard online-softmax tiling:
 - masking is a per-key validity vector ``kv_mask [B, Skv]`` (what MMDiT's
   context attention masks need, reference mmdit.py:192-200) applied as an
   additive ``-0.7 * float_max`` (not -inf, to avoid exp(-inf - -inf) NaNs);
-  fully-masked rows produce zeros via a safe-divide.
+  fully-masked rows are detected via the running max and produce zero output
+  AND zero gradients (their stored lse is +inf, so the backward's
+  ``p = exp(s - lse)`` vanishes).
 
 Layout: q [B, H, Sq, D], k/v [B, H, Skv, D]. Sequence lengths must be padded
 to the block size by the caller (diffulab_tpu.ops.attention does this).
@@ -116,10 +118,20 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, m_scr, l_scr, acc
     @pl.when(kv_idx == n_kv - 1)
     def _store():
         l_final = l_scr[:, :1]
+        m_final = m_scr[:, :1]
         l_safe = jnp.where(l_final == 0.0, 1.0, l_final)
-        o_ref[0, 0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
-        # lse = m + log(l); for fully-masked rows (l==0) this is m (finite-safe)
-        lse = m_scr[:, :1] + jnp.log(l_safe)
+        o = acc_scr[...] / l_safe
+        lse = m_final + jnp.log(l_safe)
+        if mask_ref is not None:
+            # A fully-masked row has every score pinned at DEFAULT_MASK_VALUE
+            # (the additive mask is finite, so p=1 per key and l=Skv — the
+            # l==0 branch never fires). Detect it via the running max and
+            # force o=0; lse=+inf makes the backward's p=exp(s-lse) exactly 0
+            # so dq/dk/dv contributions from these rows vanish too.
+            fully_masked = m_final <= DEFAULT_MASK_VALUE
+            o = jnp.where(fully_masked, 0.0, o)
+            lse = jnp.where(fully_masked, jnp.inf, lse)
+        o_ref[0, 0] = o.astype(o_ref.dtype)
         lse_ref[0, 0] = lse
 
 

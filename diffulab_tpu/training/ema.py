@@ -28,8 +28,13 @@ class EMAConfig:
 
 
 def ema_decay(config: EMAConfig, step: jax.Array) -> jax.Array:
-    """Current decay for a raw train-step counter (ema-pytorch ramp)."""
-    epoch = jnp.clip((step - config.update_after_step - 1) / config.update_every, min=0.0)
+    """Current decay for a raw train-step counter (ema-pytorch ramp).
+
+    ema-pytorch's ``get_current_decay`` uses the raw step count in the ramp
+    (NOT divided by ``update_every`` — only the update *cadence* is gated on
+    it), so the warmup length is measured in train steps.
+    """
+    epoch = jnp.clip(step - config.update_after_step - 1.0, min=0.0)
     value = 1.0 - (1.0 + epoch / config.inv_gamma) ** -config.power
     return jnp.clip(value, min=0.0, max=config.beta)
 

@@ -37,7 +37,6 @@ from diffulab_tpu.training.checkpoint import restore_checkpoint
 from diffulab_tpu.training.ema import ema_update
 from diffulab_tpu.training.meters import AverageMeter
 from diffulab_tpu.training.trainer import Trainer, _TrainModules
-from diffulab_tpu.parallel.mesh import is_main_process
 
 logger = pylog.getLogger(__name__)
 
@@ -265,7 +264,9 @@ class GRPOTrainer(Trainer):
                         self.tracker.log({key: value}, step=epoch + 1)
                         if key == "val/loss":
                             total_loss += value
-                if log_validation_images and is_main_process():
+                # generation is collective — run on all processes; the
+                # tracker is host-0-gated internally
+                if log_validation_images:
                     nnx.update(modules, ema_params if ema_params is not None else params)
                     # one quick grid from the first val batch's conditioning
                     try:

@@ -315,7 +315,14 @@ class BaseTrainer(Trainer):
                     steps_per_epoch = len(train_dataloader)  # type: ignore[arg-type]
                 except TypeError as e:
                     raise ValueError("steps_per_epoch required for per-epoch scheduler") from e
-            idx = (lambda c: c) if per_batch_scheduler else (lambda c: c // steps_per_epoch)
+            if per_batch_scheduler:
+                idx = lambda c: c  # noqa: E731
+            else:
+                # scale_by_schedule sits inside MultiSteps, so its count
+                # advances once per REAL update (micro_steps / accum), while
+                # steps_per_epoch is measured in micro-batches
+                updates_per_epoch = max(steps_per_epoch // self.gradient_accumulation_step, 1)
+                idx = lambda c: c // updates_per_epoch  # noqa: E731
             optimizer = optax.chain(optimizer, optax.scale_by_schedule(lambda c: scheduler(idx(c))))
         if self.gradient_accumulation_step > 1:
             optimizer = optax.MultiSteps(optimizer, every_k_schedule=self.gradient_accumulation_step)
@@ -410,7 +417,12 @@ class BaseTrainer(Trainer):
 
                 # write current eval params back into the live module for generation
                 nnx.update(modules, eval_params)
-                if log_validation_images and is_main_process():
+                # generation runs on ALL processes (it is a collective
+                # computation over the mesh — gating it on host 0 would
+                # deadlock a multi-host pod); only the tracker side is
+                # host-0-only (Tracker is constructed with
+                # enabled=is_main_process())
+                if log_validation_images:
                     logger.info("creating validation images")
                     first_val = next(iter(val_dataloader))
                     self.log_images(

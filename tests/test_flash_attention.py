@@ -115,3 +115,25 @@ def test_padding_to_tuned_block_matches_xla():
     ref = _xla_path(q, k, v, None, None)
     assert out.shape == (1, 600, 2, 16)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_fully_masked_rows_zero_output_and_grads():
+    """A batch row whose kv_mask is all-False must produce exactly zero output
+    and contribute zero gradient everywhere (the additive finite mask would
+    otherwise leak mean(V) through those rows)."""
+    q, k, v = _rand_qkv(jax.random.key(9), b=2, sq=128, skv=128, h=2, d=64)
+    kv_mask = jnp.stack([jnp.zeros(128, bool), jnp.ones(128, bool)])  # row 0 fully masked
+
+    out = flash_interp(q, k, v, kv_mask, None)
+    np.testing.assert_array_equal(np.asarray(out[0]), 0.0)
+    # unmasked row matches XLA
+    ref = _xla_path(q, k, v, kv_mask, None)
+    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(ref[1]), atol=2e-5, rtol=2e-5)
+
+    gq, gk, gv = jax.grad(
+        lambda *a: (flash_interp(*a, kv_mask, None) ** 2).sum(), argnums=(0, 1, 2)
+    )(q, k, v)
+    np.testing.assert_array_equal(np.asarray(gq[0]), 0.0)
+    np.testing.assert_array_equal(np.asarray(gk[0]), 0.0)
+    np.testing.assert_array_equal(np.asarray(gv[0]), 0.0)
+    assert np.isfinite(np.asarray(gq)).all()
