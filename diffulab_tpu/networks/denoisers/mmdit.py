@@ -39,7 +39,7 @@ from diffulab_tpu.networks.nn import (
     LabelEmbed,
     Modulation,
     QKNorm,
-    apply_rope_ndim,
+    apply_rope_ndim_planar,
     get_cos_sin_ndim_grid,
     modulate,
     packed_swiglu,
@@ -119,7 +119,11 @@ class DiTAttention(nnx.Module):
         k = k.reshape(b, s, self.num_heads, self.head_dim)
         v = v.reshape(b, s, self.num_heads, self.head_dim)
         cos, sin = cos_sin_rope
-        q, k = apply_rope_ndim(q, k, cos, sin, self.rotary_dim)
+        # planar (rotate-half) pairing: copy-free on TPU and score-equivalent
+        # to the reference's interleaved convention under a fixed q/k channel
+        # permutation (nn.rope_planar_perm); for a from-scratch model the two
+        # are the same distribution (see docs/rope_layout.md)
+        q, k = apply_rope_ndim_planar(q, k, cos, sin, self.rotary_dim)
         out = dot_product_attention(q, k, v, kv_mask=attn_mask, scale=self.scale)
         return self.proj_out(out.reshape(b, s, -1))
 
@@ -164,7 +168,7 @@ class MMDiTAttention(nnx.Module):
         k = heads(jnp.concatenate([ck, ik], axis=1))
         v = heads(jnp.concatenate([cv, iv], axis=1))
         cos, sin = cos_sin_rope
-        q, k = apply_rope_ndim(q, k, cos, sin, self.rotary_dim)
+        q, k = apply_rope_ndim_planar(q, k, cos, sin, self.rotary_dim)
 
         kv_mask = None
         if attn_mask is not None:

@@ -20,6 +20,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import nnx
 
 # --------------------------------------------------------------------------- #
@@ -135,6 +136,56 @@ def apply_rope_ndim(
         rot_odd = x_even * s + x_odd * c
         x_rot = jnp.stack([rot_even, rot_odd], axis=-1).reshape(x_rope.shape)
         return jnp.concatenate([x_rot, x_pass], axis=-1)
+
+    return rot(q), rot(k)
+
+
+def rope_planar_perm(num_heads: int, head_dim: int, rotary_dim: int) -> np.ndarray:
+    """Channel permutation turning interleaved-pair RoPE into rotate-half.
+
+    Attention scores are invariant to any fixed permutation applied to BOTH
+    q and k channels, so the interleaved pairing of the reference convention
+    (nn.py:330-400) can be re-indexed to planar halves — pair ``(2i, 2i+1)``
+    lands at ``(i, rot/2 + i)`` per head — and then
+    :func:`apply_rope_ndim_planar` rotates two CONTIGUOUS half-slices instead
+    of stride-2 lanes. On TPU the stride-2 gather forces a (2,1)-tiled layout
+    and per-layer relayout copies (~10% of the DiT-B/2 step, profiled on
+    v5e); the planar form is copy-free. Folding this permutation into the
+    qkv projection's output columns (and the QKNorm scales) makes the whole
+    transform exact: same multiplies, same pairings, reordered channels that
+    only attention's inner product ever sees.
+    """
+    perm = np.arange(num_heads * head_dim)
+    half = rotary_dim // 2
+    for h in range(num_heads):
+        base = h * head_dim
+        perm[base:base + half] = base + 2 * np.arange(half)  # evens
+        perm[base + half:base + rotary_dim] = base + 2 * np.arange(half) + 1  # odds
+    return perm
+
+
+def apply_rope_ndim_planar(
+    q: jax.Array,
+    k: jax.Array,
+    cos: jax.Array,
+    sin: jax.Array,
+    rotary_dim: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Rotate-half N-D RoPE on channels permuted by :func:`rope_planar_perm`.
+
+    Numerically identical to :func:`apply_rope_ndim` composed with the
+    permutation: ``planar(q[..., perm]) == apply_rope_ndim(q)[..., perm]``.
+    q/k: [B, S, H, D]; cos/sin: [B, S, rotary_dim/2].
+    """
+    half = rotary_dim // 2
+
+    def rot(x: jax.Array) -> jax.Array:
+        x1 = x[..., :half]
+        x2 = x[..., half:rotary_dim]
+        x_pass = x[..., rotary_dim:]
+        c = cos[:, :, None, :].astype(x.dtype)
+        s = sin[:, :, None, :].astype(x.dtype)
+        return jnp.concatenate([x1 * c - x2 * s, x1 * s + x2 * c, x_pass], axis=-1)
 
     return rot(q), rot(k)
 

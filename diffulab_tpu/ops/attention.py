@@ -1,15 +1,19 @@
-"""Attention dispatch: Pallas flash attention on TPU, XLA SDPA elsewhere.
+"""Attention dispatch: Pallas kernels on TPU, XLA SDPA elsewhere.
 
 The models call one entry point, ``dot_product_attention(q, k, v, kv_mask)``,
 with the reference's [B, S, H, D] layout (what SDPA receives after the qkv
-reshape in reference mmdit.py:85-99). Dispatch rules:
+reshape in reference mmdit.py:85-99). Dispatch rules (v5e-measured):
 
-- backend == "tpu" and head_dim fits VMEM tiling -> Pallas flash kernel
-  (sequence lengths auto-padded to the 128 block with a synthesized padding
-  mask; padded query rows are sliced off);
-- otherwise -> ``jax.nn.dot_product_attention`` (XLA), which CPU tests use.
+- short sequences (working set fits VMEM, DiT-scale 256-1024 tokens) -> the
+  fused whole-softmax multi-head kernel (:mod:`diffulab_tpu.ops.fused_mha`),
+  which keeps the [S, S] score matrix out of HBM entirely;
+- long sequences -> the KV-tiled flash kernel
+  (:mod:`diffulab_tpu.ops.flash_attention`);
+- non-TPU backends (CPU tests) -> ``jax.nn.dot_product_attention`` (XLA).
 
-The choice can be forced with ``impl=`` for A/B benchmarking.
+Sequence lengths are auto-padded to block multiples with a synthesized
+padding mask; padded query rows are sliced off. The choice can be forced
+with ``impl=`` for A/B benchmarking.
 """
 
 from __future__ import annotations
@@ -18,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from diffulab_tpu.ops.flash_attention import MIN_BLOCK, flash_attention
+from diffulab_tpu.ops.fused_mha import FUSED_VMEM_BUDGET, fused_mha, fused_vmem_bytes
 
 
 def _pad_to(x: jax.Array, axis: int, target: int) -> jax.Array:
@@ -54,6 +59,21 @@ def use_flash(q_shape: tuple[int, ...], kv_len: int | None = None,
     )
 
 
+def use_fused(q_shape: tuple[int, ...], kv_len: int, backend: str | None = None) -> bool:
+    """Fused whole-softmax MHA: wins whenever its VMEM working set fits
+    (v5e: 2.4x over XLA SDPA fwd+bwd at DiT-B/2's 256 tokens, and it removes
+    the [B,H,S,S] HBM score round-trips that dominate short-seq attention)."""
+    backend = backend or jax.default_backend()
+    b, sq, h, d = q_shape
+    sq_p = _round_up(sq, MIN_BLOCK)
+    skv_p = _round_up(kv_len, MIN_BLOCK)
+    return (
+        backend == "tpu"
+        and d % 8 == 0
+        and fused_vmem_bytes(sq_p, skv_p, h, d) <= FUSED_VMEM_BUDGET
+    )
+
+
 def dot_product_attention(
     q: jax.Array,
     k: jax.Array,
@@ -66,7 +86,9 @@ def dot_product_attention(
 
     Returns [B, Sq, H, D] in q's dtype.
     """
-    assert impl in ("auto", "flash", "xla")
+    assert impl in ("auto", "fused", "flash", "xla")
+    if impl == "fused" or (impl == "auto" and use_fused(q.shape, k.shape[1])):
+        return _fused_path(q, k, v, kv_mask, scale)
     if impl == "flash" or (impl == "auto" and use_flash(q.shape, k.shape[1])):
         return _flash_path(q, k, v, kv_mask, scale)
     return _xla_path(q, k, v, kv_mask, scale)
@@ -92,6 +114,22 @@ def _pad_target(s: int) -> int:
     4224 = 2^7 * 33 has no larger power-of-two divisor). Padded KV columns
     are masked; padded Q rows are sliced off."""
     return _round_up(s, TUNED_BLOCK if s >= TUNED_BLOCK else MIN_BLOCK)
+
+
+def _fused_path(q, k, v, kv_mask, scale, interpret: bool = False):
+    b, sq, h, d = q.shape
+    skv = k.shape[1]
+    sq_p = _round_up(sq, MIN_BLOCK)
+    skv_p = _round_up(skv, MIN_BLOCK)
+
+    if kv_mask is None and skv_p != skv:
+        kv_mask = jnp.ones((b, skv), dtype=bool)
+    qp = _pad_to(q, 1, sq_p)
+    kp = _pad_to(k, 1, skv_p)
+    vp = _pad_to(v, 1, skv_p)
+    maskp = _pad_to(kv_mask, 1, skv_p) if kv_mask is not None else None
+    o = fused_mha(qp, kp, vp, maskp, scale, interpret)
+    return o[:, :sq]
 
 
 def _flash_path(q, k, v, kv_mask, scale, interpret: bool = False):

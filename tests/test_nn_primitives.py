@@ -171,3 +171,55 @@ def test_zero_linear_outputs_zero():
     lin = zero_linear(8, 4, rngs=nnx.Rngs(0))
     out = lin(jax.random.normal(jax.random.key(0), (2, 8)))
     np.testing.assert_allclose(np.asarray(out), 0.0)
+
+
+def test_rope_planar_equivalent_to_interleaved_under_perm():
+    """planar(x[..., perm]) == interleaved(x)[..., perm] — the exact identity
+    that lets attention swap pairings with no score change (both q and k get
+    the same permutation; scores are channel-permutation invariant)."""
+    from diffulab_tpu.networks.nn import apply_rope_ndim_planar, rope_planar_perm
+
+    B, S, H, D, rot = 2, 6, 3, 16, 12
+    key = jax.random.key(0)
+    q = jax.random.normal(key, (B, S, H, D))
+    k = jax.random.normal(jax.random.fold_in(key, 1), (B, S, H, D))
+    pos = jax.random.randint(jax.random.fold_in(key, 2), (B, S, 2), 0, 7)
+    cos, sin = get_cos_sin_ndim_grid(pos, 10_000.0, (8, 4))
+
+    perm = rope_planar_perm(H, D, rot)
+    perm_hd = perm.reshape(H, D) % D  # per-head channel map
+
+    qi, ki = apply_rope_ndim(q, k, cos, sin, rot)
+    qp, kp = apply_rope_ndim_planar(
+        jnp.take_along_axis(q, jnp.asarray(perm_hd)[None, None], axis=-1),
+        jnp.take_along_axis(k, jnp.asarray(perm_hd)[None, None], axis=-1),
+        cos, sin, rot,
+    )
+    np.testing.assert_allclose(
+        np.asarray(qp),
+        np.asarray(jnp.take_along_axis(qi, jnp.asarray(perm_hd)[None, None], axis=-1)),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(kp),
+        np.asarray(jnp.take_along_axis(ki, jnp.asarray(perm_hd)[None, None], axis=-1)),
+        atol=1e-6,
+    )
+    # and the attention scores are identical between conventions
+    s_i = jnp.einsum("bshd,bthd->bhst", qi, ki)
+    s_p = jnp.einsum("bshd,bthd->bhst", qp, kp)
+    np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_i), atol=1e-5)
+
+
+def test_rope_planar_preserves_norm():
+    from diffulab_tpu.networks.nn import apply_rope_ndim_planar
+
+    B, S, H, D = 1, 5, 2, 16
+    q = jax.random.normal(jax.random.key(3), (B, S, H, D))
+    pos = jnp.tile(jnp.arange(S)[None, :, None], (B, 1, 2))
+    cos, sin = get_cos_sin_ndim_grid(pos, 10_000.0, (8, 8))
+    qr, _ = apply_rope_ndim_planar(q, q, cos, sin, 16)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(qr), axis=-1),
+        np.linalg.norm(np.asarray(q), axis=-1), rtol=1e-5,
+    )
