@@ -53,7 +53,7 @@ def _mha_fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *, sm_scale, 
     d = head_dim
     mask = None
     if mask_ref is not None:
-        mask = mask_ref[0, :][None, :] != 0  # [1, Skv]
+        mask = mask_ref[0, 0, :][None, :] != 0  # [1, Skv]
     lse_cols = []
     for hh in range(n_heads):
         q = q_ref[0, :, hh * d:(hh + 1) * d]
@@ -89,7 +89,7 @@ def _mha_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, mask_ref,
     d = head_dim
     mask = None
     if mask_ref is not None:
-        mask = mask_ref[0, :][None, :] != 0
+        mask = mask_ref[0, 0, :][None, :] != 0
     for hh in range(n_heads):
         q = q_ref[0, :, hh * d:(hh + 1) * d]
         k = k_ref[0, :, hh * d:(hh + 1) * d]
@@ -141,8 +141,8 @@ def _mha_forward(q, k, v, kv_mask, sm_scale, interpret):
     ]
     args = [q3, k3, v3]
     if kv_mask is not None:
-        in_specs.append(pl.BlockSpec((1, skv), lambda bi: (bi, 0)))
-        args.append(kv_mask.astype(jnp.int32))
+        in_specs.append(pl.BlockSpec((1, 1, skv), lambda bi: (bi, 0, 0)))
+        args.append(kv_mask.astype(jnp.int32)[:, None, :])
         kernel = functools.partial(_mha_fwd_kernel, sm_scale=sm_scale, n_heads=h, head_dim=d)
     else:
         def kernel(q_ref, k_ref, v_ref, o_ref, lse_ref):
@@ -185,8 +185,8 @@ def _mha_backward(q, k, v, kv_mask, lse, do, sm_scale, interpret):
     ]
     args = [q3, k3, v3, do3, lse]
     if kv_mask is not None:
-        in_specs.append(pl.BlockSpec((1, skv), lambda bi: (bi, 0)))
-        args.append(kv_mask.astype(jnp.int32))
+        in_specs.append(pl.BlockSpec((1, 1, skv), lambda bi: (bi, 0, 0)))
+        args.append(kv_mask.astype(jnp.int32)[:, None, :])
         kernel = functools.partial(_mha_bwd_kernel, sm_scale=sm_scale, n_heads=h, head_dim=d)
     else:
         def kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dq_ref, dk_ref, dv_ref):

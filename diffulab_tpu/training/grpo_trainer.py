@@ -33,6 +33,7 @@ from flax import nnx
 from diffulab_tpu.diffuse.diffuser import Diffuser
 from diffulab_tpu.diffuse.flow import Flow
 from diffulab_tpu.networks.rewards.common import RewardModel
+from diffulab_tpu.parallel.sharding import batch_sharding, get_param_shardings, replicated
 from diffulab_tpu.training.checkpoint import restore_checkpoint
 from diffulab_tpu.training.ema import ema_update
 from diffulab_tpu.training.meters import AverageMeter
@@ -42,12 +43,27 @@ logger = pylog.getLogger(__name__)
 
 
 class GRPOTrainer(Trainer):
+    """GRPO trainer.
+
+    ``mini_batch_size`` bounds how many prompts one jitted sampling call
+    processes (reference grpo_trainer.py:237-242: full EM trajectories for 16
+    images/prompt explode memory); ``offload_trajectories`` moves each
+    group's trajectory pytree to host after sampling so at most ONE group's
+    trajectories are device-resident at a time (they return to the mesh per
+    learn step). Params/batches/trajectories are sharded over the trainer's
+    (data, fsdp, tensor) mesh exactly like BaseTrainer — the reference's
+    accelerate-DDP GRPO (grpo_trainer.py:481-512) maps to jit + shardings.
+    """
+
     def __init__(self, *args: Any, timestep_fraction: float = 0.6, kl_beta: float = 0.0,
-                 eps: float = 1e-4, **kwargs: Any):
+                 eps: float = 1e-4, mini_batch_size: int | None = None,
+                 offload_trajectories: bool = True, **kwargs: Any):
         super().__init__(*args, **kwargs)
         self.timestep_fraction = timestep_fraction
         self.kl_beta = kl_beta
         self.eps = eps
+        self.mini_batch_size = mini_batch_size
+        self.offload_trajectories = offload_trajectories
 
     # ------------------------------------------------------------------ #
     def _build_fns(self, diffuser: Diffuser, graphdef, optimizer, guidance_scale: float):
@@ -125,6 +141,25 @@ class GRPOTrainer(Trainer):
                     diffuser.vision_tower.latent_channels)
         return (batch_size, image_resolution[0], image_resolution[1], 3)
 
+    def _batch_shards(self) -> int:
+        return self.mesh.shape.get("data", 1) * self.mesh.shape.get("fsdp", 1)
+
+    def _put_batch(self, tree: Any, batch_size: int) -> Any:
+        """Shard arrays whose leading dim is the prompt batch over
+        (data, fsdp); everything else — and prompt counts that don't tile the
+        shard count — replicates (GRPO prompt batches are small; the
+        reference runs 1-4 prompts/process)."""
+        batch_sh = batch_sharding(self.mesh)
+        repl = replicated(self.mesh)
+        shards = self._batch_shards()
+
+        def put(x):
+            x = jnp.asarray(x)
+            is_batch = x.ndim > 0 and x.shape[0] == batch_size and batch_size % shards == 0
+            return jax.device_put(x, batch_sh if is_batch else repl)
+
+        return jax.tree.map(put, tree)
+
     def _run_batch(self, batch, sample_fns, reward_model, params, rng_state, rest,
                    opt_state, ema_params, rng, step, n_image_per_prompt, tracker,
                    train: bool):
@@ -133,29 +168,50 @@ class GRPOTrainer(Trainer):
         captions = batch.get("extra", {}).get("captions")
         assert captions is not None, "GRPO batches need extra['captions']"
         cond = {k: v for k, v in model_inputs.items() if k != "x"}
-        cond_arrays = jax.tree.map(jnp.asarray, cond)
+        p = len(captions)
+        cond_arrays = self._put_batch(cond, p)
 
         x_init = model_inputs.get("x")
         if x_init is None:
             x_init = jax.random.normal(jax.random.fold_in(rng, 0), self._grpo_shape)
-        else:
-            x_init = jnp.asarray(x_init)
+        x_init = self._put_batch(x_init, p)
+        assert x_init.shape[0] == p, (x_init.shape, p)
+        mini = self.mini_batch_size or p
+        if p % mini != 0:
+            mini = p
+
+        # the same params sample and learn in train mode; validation samples
+        # and evaluates with the EMA weights when available (one expression —
+        # reference base_trainer.py:336-359 EMA-swap semantics)
+        sample_params = params if train else (ema_params if ema_params is not None else params)
 
         # --- SAMPLE: one trajectory set per image-per-prompt group ----------
+        # each group optionally leaves the device right away so only one
+        # group's full EM trajectories ([P, steps+1, H, W, C]) is resident
         samplings, decoded_all = [], []
-        eval_params = ema_params if (ema_params is not None and not train) else params
         for g in range(n_image_per_prompt):
-            out, decoded = sample_group(
-                eval_params if not train else params, rng_state, rest,
-                x_init, cond_arrays, jax.random.fold_in(rng, 100 + g),
-            )
+            chunks, dec_chunks = [], []
+            for c0 in range(0, p, mini):
+                sl = slice(c0, c0 + mini)
+                x_c = self._put_batch(x_init[sl], mini)
+                cond_c = self._put_batch(jax.tree.map(lambda v: v[sl], cond_arrays), mini)
+                out, decoded = sample_group(
+                    sample_params, rng_state, rest, x_c, cond_c,
+                    jax.random.fold_in(rng, 100 + g * 4096 + c0),
+                )
+                chunks.append(jax.device_get(out) if self.offload_trajectories else out)
+                dec_chunks.append(np.asarray(decoded, np.float32))
+            if len(chunks) > 1:
+                concat = np.concatenate if self.offload_trajectories else jnp.concatenate
+                out = jax.tree.map(lambda *xs: concat(xs, axis=0), *chunks)
+            else:
+                out = chunks[0]
             samplings.append(out)
-            decoded_all.append(np.asarray(decoded, np.float32))
+            decoded_all.append(np.concatenate(dec_chunks, axis=0))
 
         # --- REWARD (host side) ---------------------------------------------
         # groups interleave per prompt: reward model expects [P*N] ordered
         # prompt-major; our groups are N x [P] -> transpose ordering
-        p = x_init.shape[0]
         images = np.stack(decoded_all, axis=1).reshape(p * n_image_per_prompt,
                                                        *decoded_all[0].shape[1:])
         advantages = np.asarray(reward_model(images=images, context=list(captions)), np.float32)
@@ -164,7 +220,9 @@ class GRPOTrainer(Trainer):
         # --- LEARN per group -------------------------------------------------
         prefix = "train" if train else "val"
         for g, sampling in enumerate(samplings):
-            adv_g = jnp.asarray(advantages[:, g])
+            if self.offload_trajectories:
+                sampling = self._put_batch(sampling, p)
+            adv_g = self._put_batch(advantages[:, g], p)
             if train:
                 step += 1
                 params, opt_state, ema_params, losses = grpo_step(
@@ -172,9 +230,8 @@ class GRPOTrainer(Trainer):
                     sampling, adv_g, jax.random.fold_in(rng, 200 + g), step,
                 )
             else:
-                losses = grpo_eval(params if ema_params is None else ema_params,
-                                   rng_state, rest, cond_arrays, sampling, adv_g,
-                                   jax.random.fold_in(rng, 200 + g))
+                losses = grpo_eval(sample_params, rng_state, rest, cond_arrays,
+                                   sampling, adv_g, jax.random.fold_in(rng, 200 + g))
             for key, loss in losses.items():
                 tracker.update(float(loss), key=f"{prefix}/{key}")
         tracker.update(float(advantages.mean()), key=f"{prefix}/advantage_mean")
@@ -216,15 +273,23 @@ class GRPOTrainer(Trainer):
         if denoiser_ckpt:
             restored = restore_checkpoint(denoiser_ckpt, {"params": params, "rest": rest})
             params, rest = restored["params"], restored["rest"]
+
+        # --- shard onto the mesh (same treatment as BaseTrainer) ------------
+        param_sh = get_param_shardings(params, self.mesh)
+        params = jax.tree.map(jax.device_put, params, param_sh)
+        rest = jax.tree.map(jax.device_put, rest, get_param_shardings(rest, self.mesh))
+
         opt_state = optimizer.init(params)
         if optimizer_ckpt:
             opt_state = restore_checkpoint(optimizer_ckpt, {"opt_state": opt_state})["opt_state"]
+        opt_state = jax.device_put(opt_state, replicated(self.mesh))
         ema_params = None
         if self.use_ema:
             if ema_ckpt:
                 ema_params = restore_checkpoint(ema_ckpt, {"params": params})["params"]
             else:
                 ema_params = jax.tree.map(jnp.copy, params)
+            ema_params = jax.tree.map(jax.device_put, ema_params, param_sh)
 
         # data_shape requires a known prompt batch size; peek the first batch
         first_batch = next(iter(train_dataloader))
@@ -271,8 +336,9 @@ class GRPOTrainer(Trainer):
                     # one quick grid from the first val batch's conditioning
                     try:
                         vb = next(iter(val_dataloader))
-                        cond = {k: jnp.asarray(v) for k, v in vb["model_inputs"].items()
-                                if k != "x" and not isinstance(v, list)}
+                        cond = {k: v for k, v in vb["model_inputs"].items()
+                                if k != "x" and not isinstance(v, (list, tuple, str))}
+                        cond = jax.tree.map(jnp.asarray, cond)  # dict leaves too
                         n = min(4, self._grpo_shape[0])
                         cond = jax.tree.map(lambda v: v[:n], cond)
                         out = diffuser.generate(

@@ -140,6 +140,8 @@ def main() -> None:
         init_kwargs={"wandb": trainer_cfg.get("wandb", {})},
         timestep_fraction=grpo_cfg.get("timestep_fraction", 0.6),
         kl_beta=grpo_cfg.get("kl_beta", 0.0),
+        mini_batch_size=grpo_cfg.get("mini_batch_size"),
+        offload_trajectories=grpo_cfg.get("offload_trajectories", True),
     )
     trainer.train(
         diffuser=diffuser,
