@@ -46,6 +46,8 @@ from diffulab_tpu.networks.nn import (
     timestep_embedding,
 )
 from diffulab_tpu.ops import dot_product_attention
+from diffulab_tpu.ops.ring_attention import sequence_parallel_attention
+from diffulab_tpu.parallel.moe import ExpertMlp, expert_parallel_mlp, moe_mlp_local
 
 Initializer = nnx.initializers.Initializer
 
@@ -96,20 +98,58 @@ class SwiGLUMlp(nnx.Module):
         return self.fc_out(packed_swiglu(self.fc_in(x)))
 
 
+class MoEMlp(nnx.Module):
+    """Switch-routed mixture-of-experts MLP block variant (beyond reference
+    scope; parallel/moe.py). Runs expert-parallel over the mesh's 'expert'
+    axis once a mesh is injected (``MMDiT.set_parallel_mesh``), dense
+    otherwise. The router's switch load-balance loss is sown as an
+    nnx.Intermediate ('moe_load_balance') for callers that want to add it to
+    the objective."""
+
+    def __init__(self, dim: int, mlp_ratio: int, n_experts: int, capacity_factor: float,
+                 *, rngs: nnx.Rngs, dtype=None, param_dtype=jnp.float32):
+        self.experts = ExpertMlp(n_experts, dim, mlp_ratio * dim,
+                                 rngs=rngs, dtype=dtype, param_dtype=param_dtype)
+        self.capacity_factor = capacity_factor
+        self.mesh = None  # static; injected by set_parallel_mesh
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        if self.mesh is not None and self.mesh.shape.get("expert", 1) > 1:
+            y, aux = expert_parallel_mlp(
+                self.experts, x, mesh=self.mesh, axis="expert",
+                capacity_factor=self.capacity_factor, batch_axes=("data", "fsdp"),
+            )
+        else:
+            y, aux = moe_mlp_local(self.experts, x, self.capacity_factor)
+        self.sow(nnx.Intermediate, "moe_load_balance", aux["load_balance_loss"])
+        return y
+
+
 class DiTAttention(nnx.Module):
     """Self-attention with QKNorm + N-D RoPE (reference mmdit.py:29-104)."""
 
     def __init__(self, inner_dim: int, num_heads: int, rope_axes_dim: Sequence[int],
-                 *, rngs: nnx.Rngs, dtype=None, param_dtype=jnp.float32):
+                 *, rngs: nnx.Rngs, dtype=None, param_dtype=jnp.float32,
+                 attention_impl: str = "auto"):
         self.num_heads = num_heads
         self.head_dim = inner_dim // num_heads
         self.scale = self.head_dim**-0.5
         self.rotary_dim = int(sum(rope_axes_dim))
+        self.attention_impl = attention_impl
+        self.mesh = None  # static; injected by set_parallel_mesh for 'ring'
         self.qkv = _linear(inner_dim, 3 * inner_dim, use_bias=False,
                            sharding=("embed", "hidden"), rngs=rngs, dtype=dtype, param_dtype=param_dtype)
         self.qk_norm = QKNorm(inner_dim, rngs=rngs, param_dtype=param_dtype)
         self.proj_out = _linear(inner_dim, inner_dim, use_bias=False,
                                 sharding=("hidden", "embed"), rngs=rngs, dtype=dtype, param_dtype=param_dtype)
+
+    def _attend(self, q, k, v, attn_mask):
+        if self.attention_impl == "ring" and self.mesh is not None:
+            ring = sequence_parallel_attention(self.mesh, axis="sp",
+                                               batch_axis=("data", "fsdp"))
+            return ring(q, k, v, kv_mask=attn_mask, scale=self.scale)
+        impl = "auto" if self.attention_impl == "ring" else self.attention_impl
+        return dot_product_attention(q, k, v, kv_mask=attn_mask, scale=self.scale, impl=impl)
 
     def __call__(self, x: jax.Array, cos_sin_rope, attn_mask: jax.Array | None = None) -> jax.Array:
         b, s, _ = x.shape
@@ -124,7 +164,7 @@ class DiTAttention(nnx.Module):
         # permutation (nn.rope_planar_perm); for a from-scratch model the two
         # are the same distribution (see docs/rope_layout.md)
         q, k = apply_rope_ndim_planar(q, k, cos, sin, self.rotary_dim)
-        out = dot_product_attention(q, k, v, kv_mask=attn_mask, scale=self.scale)
+        out = self._attend(q, k, v, attn_mask)
         return self.proj_out(out.reshape(b, s, -1))
 
 
@@ -137,11 +177,14 @@ class MMDiTAttention(nnx.Module):
     """
 
     def __init__(self, inner_dim: int, num_heads: int, rope_axes_dim: Sequence[int],
-                 *, rngs: nnx.Rngs, dtype=None, param_dtype=jnp.float32):
+                 *, rngs: nnx.Rngs, dtype=None, param_dtype=jnp.float32,
+                 attention_impl: str = "auto"):
         self.num_heads = num_heads
         self.head_dim = inner_dim // num_heads
         self.scale = self.head_dim**-0.5
         self.rotary_dim = int(sum(rope_axes_dim))
+        self.attention_impl = attention_impl
+        self.mesh = None
         kw = dict(rngs=rngs, dtype=dtype, param_dtype=param_dtype)
         self.qkv_input = _linear(inner_dim, 3 * inner_dim, use_bias=False, sharding=("embed", "hidden"), **kw)
         self.qkv_context = _linear(inner_dim, 3 * inner_dim, use_bias=False, sharding=("embed", "hidden"), **kw)
@@ -175,7 +218,13 @@ class MMDiTAttention(nnx.Module):
             kv_mask = jnp.concatenate(
                 [attn_mask.astype(bool), jnp.ones((b, s_img), dtype=bool)], axis=1
             )
-        out = dot_product_attention(q, k, v, kv_mask=kv_mask, scale=self.scale)
+        if self.attention_impl == "ring" and self.mesh is not None:
+            ring = sequence_parallel_attention(self.mesh, axis="sp",
+                                               batch_axis=("data", "fsdp"))
+            out = ring(q, k, v, kv_mask=kv_mask, scale=self.scale)
+        else:
+            impl = "auto" if self.attention_impl == "ring" else self.attention_impl
+            out = dot_product_attention(q, k, v, kv_mask=kv_mask, scale=self.scale, impl=impl)
         out = out.reshape(b, s_ctx + s_img, -1)
         return self.input_proj_out(out[:, s_ctx:]), self.context_proj_out(out[:, :s_ctx])
 
@@ -185,12 +234,20 @@ class DiTBlock(nnx.Module):
     (reference mmdit.py:213-309)."""
 
     def __init__(self, inner_dim: int, embedding_dim: int, num_heads: int, mlp_ratio: int,
-                 rope_axes_dim: Sequence[int], *, rngs: nnx.Rngs, dtype=None, param_dtype=jnp.float32):
+                 rope_axes_dim: Sequence[int], *, rngs: nnx.Rngs, dtype=None, param_dtype=jnp.float32,
+                 attention_impl: str = "auto", mlp_type: str = "swiglu",
+                 n_experts: int = 8, capacity_factor: float = 2.0):
         self.modulation = Modulation(embedding_dim, inner_dim, rngs=rngs, dtype=dtype, param_dtype=param_dtype)
         self.norm_1 = LayerNormFP32(inner_dim, rngs=rngs, param_dtype=param_dtype)
-        self.attention = DiTAttention(inner_dim, num_heads, rope_axes_dim, rngs=rngs, dtype=dtype, param_dtype=param_dtype)
+        self.attention = DiTAttention(inner_dim, num_heads, rope_axes_dim, rngs=rngs, dtype=dtype,
+                                      param_dtype=param_dtype, attention_impl=attention_impl)
         self.norm_2 = LayerNormFP32(inner_dim, rngs=rngs, param_dtype=param_dtype)
-        self.mlp_input = SwiGLUMlp(inner_dim, mlp_ratio, rngs=rngs, dtype=dtype, param_dtype=param_dtype)
+        if mlp_type == "moe":
+            self.mlp_input = MoEMlp(inner_dim, mlp_ratio, n_experts, capacity_factor,
+                                    rngs=rngs, dtype=dtype, param_dtype=param_dtype)
+        else:
+            assert mlp_type == "swiglu", f"unknown mlp_type {mlp_type!r}"
+            self.mlp_input = SwiGLUMlp(inner_dim, mlp_ratio, rngs=rngs, dtype=dtype, param_dtype=param_dtype)
 
     def __call__(self, x: jax.Array, y: jax.Array, cos_sin_rope, attn_mask=None) -> jax.Array:
         mod = self.modulation(y)
@@ -207,13 +264,15 @@ class MMDiTBlock(nnx.Module):
     (reference mmdit.py:312-459)."""
 
     def __init__(self, inner_dim: int, embedding_dim: int, num_heads: int, mlp_ratio: int,
-                 rope_axes_dim: Sequence[int], *, rngs: nnx.Rngs, dtype=None, param_dtype=jnp.float32):
+                 rope_axes_dim: Sequence[int], *, rngs: nnx.Rngs, dtype=None, param_dtype=jnp.float32,
+                 attention_impl: str = "auto", **_unused):
         kw = dict(rngs=rngs, dtype=dtype, param_dtype=param_dtype)
         self.modulation_context = Modulation(embedding_dim, inner_dim, **kw)
         self.modulation_input = Modulation(embedding_dim, inner_dim, **kw)
         self.context_norm_1 = LayerNormFP32(inner_dim, rngs=rngs, param_dtype=param_dtype)
         self.input_norm_1 = LayerNormFP32(inner_dim, rngs=rngs, param_dtype=param_dtype)
-        self.attention = MMDiTAttention(inner_dim, num_heads, rope_axes_dim, **kw)
+        self.attention = MMDiTAttention(inner_dim, num_heads, rope_axes_dim,
+                                        attention_impl=attention_impl, **kw)
         self.context_norm_2 = LayerNormFP32(inner_dim, rngs=rngs, param_dtype=param_dtype)
         self.input_norm_2 = LayerNormFP32(inner_dim, rngs=rngs, param_dtype=param_dtype)
         self.mlp_context = SwiGLUMlp(inner_dim, mlp_ratio, **kw)
@@ -242,10 +301,12 @@ class MMDiTSingleStreamBlock(nnx.Module):
     (reference mmdit.py:462-532)."""
 
     def __init__(self, inner_dim: int, embedding_dim: int, num_heads: int, mlp_ratio: int,
-                 rope_axes_dim: Sequence[int], *, rngs: nnx.Rngs, dtype=None, param_dtype=jnp.float32):
+                 rope_axes_dim: Sequence[int], *, rngs: nnx.Rngs, dtype=None, param_dtype=jnp.float32,
+                 attention_impl: str = "auto", **_unused):
         kw = dict(rngs=rngs, dtype=dtype, param_dtype=param_dtype)
         self.mlp = SwiGLUMlp(inner_dim, mlp_ratio, **kw)
-        self.attention = DiTAttention(inner_dim, num_heads, rope_axes_dim, **kw)
+        self.attention = DiTAttention(inner_dim, num_heads, rope_axes_dim,
+                                      attention_impl=attention_impl, **kw)
         self.modulation = Modulation(embedding_dim, inner_dim, n_chunks=3, **kw)
         self.norm = LayerNormFP32(inner_dim, rngs=rngs, param_dtype=param_dtype)
 
@@ -342,6 +403,10 @@ class MMDiT(Denoiser):
         context_embedder: ContextEmbedder | None = None,
         use_checkpoint: bool = False,
         feature_layers: Sequence[int] = (),
+        attention_impl: str = "auto",
+        mlp_type: str = "swiglu",
+        n_experts: int = 8,
+        capacity_factor: float = 2.0,
         *,
         rngs: nnx.Rngs,
         dtype=None,
@@ -362,6 +427,7 @@ class MMDiT(Denoiser):
         self.use_checkpoint = use_checkpoint
         self.feature_layers = tuple(feature_layers)
         self.inner_dim = inner_dim
+        self.attention_impl = attention_impl
 
         kw = dict(rngs=rngs, dtype=dtype, param_dtype=param_dtype)
         heads_dim = inner_dim // num_heads
@@ -414,17 +480,33 @@ class MMDiT(Denoiser):
 
         n_dual = depth - n_single_stream_blocks
         block_cls = DiTBlock if simple_dit else MMDiTBlock
+        block_kw = dict(attention_impl=attention_impl, mlp_type=mlp_type,
+                        n_experts=n_experts, capacity_factor=capacity_factor, **kw)
         self.layers = nnx.List(
             [
-                block_cls(inner_dim, embedding_dim, num_heads, mlp_ratio, self.rope_axes_dim, **kw)
+                block_cls(inner_dim, embedding_dim, num_heads, mlp_ratio, self.rope_axes_dim, **block_kw)
                 for _ in range(n_dual)
             ]
             + [
                 MMDiTSingleStreamBlock(inner_dim, embedding_dim, num_heads, mlp_ratio,
-                                       self.rope_axes_dim, **kw)
+                                       self.rope_axes_dim, attention_impl=attention_impl, **kw)
                 for _ in range(n_single_stream_blocks)
             ]
         )
+
+    def set_parallel_mesh(self, mesh) -> None:
+        """Inject the device mesh into blocks that need it at call time:
+        ring attention (sequence shards over the 'sp' axis) and MoE MLPs
+        (experts over the 'expert' axis). Trainers call this before
+        splitting the module; single-chip / no-op meshes are harmless."""
+        for block in self.layers:
+            attn = getattr(block, "attention", None)
+            if attn is not None and hasattr(attn, "mesh"):
+                attn.mesh = mesh
+            for attr in ("mlp_input", "mlp_context", "mlp"):
+                mlp = getattr(block, attr, None)
+                if isinstance(mlp, MoEMlp):
+                    mlp.mesh = mesh
 
     # --- patch ops ---------------------------------------------------------
     def patchify(self, x: jax.Array) -> tuple[jax.Array, tuple[int, int]]:

@@ -50,14 +50,14 @@ def ring_attention_local(
     perm = [(i, (i + 1) % n) for i in range(n)]
 
     b, sq, h, d = q.shape
-    # mark the accumulators as device-varying over the ring axis (shard_map
-    # carry typing: constants created in-body are unvarying by default)
-    def varying(x):
-        return jax.lax.pcast(x, (axis_name,), to="varying")
-
-    acc0 = varying(jnp.zeros((b, sq, h, d), jnp.float32))
-    m0 = varying(jnp.full((b, h, sq), -jnp.inf, jnp.float32))
-    l0 = varying(jnp.zeros((b, h, sq), jnp.float32))
+    # derive the accumulators from q so they inherit its full varying-axes
+    # type (shard_map carry typing: q varies over the ring axis AND any
+    # batch-parallel axes; fresh constants would be unvarying and the scan
+    # carry types would mismatch)
+    acc0 = q.astype(jnp.float32) * 0.0
+    stat0 = jnp.swapaxes(q[..., 0], 1, 2).astype(jnp.float32) * 0.0  # [B, H, Sq]
+    m0 = stat0 - jnp.inf
+    l0 = stat0
 
     def body(carry, _):
         k_blk, v_blk, mask_blk, acc, m, l = carry
@@ -84,12 +84,15 @@ def ring_attention_local(
 def sequence_parallel_attention(
     mesh: Mesh,
     axis: str = "data",
-    batch_axis: str | None = None,
+    batch_axis: str | tuple[str, ...] | None = None,
 ):
     """shard_map-wrapped ring attention: the sequence dim shards over ``axis``.
 
-    Returns a callable ``(q, k, v, kv_mask=None, scale=None) -> out`` on GLOBAL
-    arrays [B, S, H, D]; S must divide by the axis size.
+    ``batch_axis`` (one mesh axis or a tuple) is how the BATCH dim is already
+    sharded — pass the data-parallel axes so the shard_map does not force an
+    all-gather of the batch. Returns a callable
+    ``(q, k, v, kv_mask=None, scale=None) -> out`` on GLOBAL arrays
+    [B, S, H, D]; S must divide by the axis size.
     """
     seq_spec = P(batch_axis, axis, None, None)
     mask_spec = P(batch_axis, axis)

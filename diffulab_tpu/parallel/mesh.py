@@ -22,35 +22,42 @@ from jax.sharding import Mesh
 
 @dataclasses.dataclass(frozen=True)
 class MeshConfig:
-    """Mesh axis sizes. ``data=-1`` absorbs all remaining devices."""
+    """Mesh axis sizes. ``data=-1`` absorbs all remaining devices.
+
+    ``sp`` (sequence parallel: ring attention shards the token axis) and
+    ``expert`` (MoE all-to-all) default to 1 — size-1 mesh axes are free, so
+    every config shares one 5-axis mesh shape.
+    """
 
     data: int = -1
     fsdp: int = 1
     tensor: int = 1
+    sp: int = 1
+    expert: int = 1
 
-    def resolve(self, n_devices: int | None = None) -> tuple[int, int, int]:
+    def resolve(self, n_devices: int | None = None) -> tuple[int, int, int, int, int]:
         n = n_devices if n_devices is not None else jax.device_count()
-        fsdp, tensor = self.fsdp, self.tensor
+        fixed = self.fsdp * self.tensor * self.sp * self.expert
         data = self.data
         if data == -1:
-            assert n % (fsdp * tensor) == 0, (
-                f"device count {n} not divisible by fsdp*tensor={fsdp * tensor}"
+            assert n % fixed == 0, (
+                f"device count {n} not divisible by fsdp*tensor*sp*expert={fixed}"
             )
-            data = n // (fsdp * tensor)
-        assert data * fsdp * tensor == n, (
-            f"mesh {data}x{fsdp}x{tensor} != device count {n}"
+            data = n // fixed
+        assert data * fixed == n, (
+            f"mesh {data}x{self.fsdp}x{self.tensor}x{self.sp}x{self.expert} != device count {n}"
         )
-        return data, fsdp, tensor
+        return data, self.fsdp, self.tensor, self.sp, self.expert
 
 
-AXIS_NAMES = ("data", "fsdp", "tensor")
+AXIS_NAMES = ("data", "fsdp", "tensor", "sp", "expert")
 
 
 def make_mesh(config: MeshConfig | None = None, devices=None) -> Mesh:
     config = config or MeshConfig()
     devices = devices if devices is not None else jax.devices()
-    data, fsdp, tensor = config.resolve(len(devices))
-    dev_array = np.asarray(devices).reshape(data, fsdp, tensor)
+    dims = config.resolve(len(devices))
+    dev_array = np.asarray(devices).reshape(*dims)
     return Mesh(dev_array, AXIS_NAMES)
 
 

@@ -76,6 +76,32 @@ def route_top1(logits: jax.Array, capacity: int) -> tuple[jax.Array, jax.Array]:
     return dispatch, combine
 
 
+def moe_mlp_local(mlp: ExpertMlp, x: jax.Array, capacity_factor: float = 2.0):
+    """Single-device switch-MoE (no mesh): route, bin, batched-FFN, combine.
+
+    The dense fallback the model uses when no mesh has been injected (CPU
+    unit tests, single-chip runs) — identical routing semantics to
+    :func:`expert_parallel_mlp` minus the all_to_alls."""
+    b, s, d = x.shape
+    e = mlp.n_experts
+    capacity = max(1, int(capacity_factor * b * s / e))
+    xt = x.reshape(-1, d)
+    logits = xt.astype(jnp.float32) @ mlp.w_gate[...].astype(jnp.float32)
+    dispatch, combine = route_top1(logits, capacity)
+    binned = jnp.einsum("tec,td->ecd", dispatch, xt.astype(jnp.float32))
+    out = mlp.ffn(mlp.w_in[...].astype(jnp.float32), mlp.w_out[...].astype(jnp.float32), binned)
+    yt = jnp.einsum("tec,ecd->td", combine, out)
+    gates = jax.nn.softmax(logits, -1)
+    entropy = -jnp.mean(jnp.sum(gates * jax.nn.log_softmax(logits, -1), axis=-1))
+    frac = jnp.mean(jax.nn.one_hot(jnp.argmax(gates, -1), e), axis=0)
+    prob = jnp.mean(gates, axis=0)
+    aux = {
+        "gate_entropy": entropy,
+        "load_balance_loss": e * jnp.sum(frac * prob),
+    }
+    return yt.reshape(x.shape).astype(x.dtype), aux
+
+
 def expert_parallel_mlp(
     mlp: ExpertMlp,
     x: jax.Array,
@@ -83,22 +109,34 @@ def expert_parallel_mlp(
     mesh: Mesh,
     axis: str = "expert",
     capacity_factor: float = 2.0,
+    batch_axes: tuple[str, ...] = (),
 ):
     """Run tokens [B, S, d] through the expert-parallel MoE over ``mesh[axis]``.
 
-    Tokens shard over ``axis`` on the batch dim; expert weights shard on
-    their leading expert dim; two all_to_alls move token bins to expert
-    owners and back. Returns [B, S, d] plus an aux dict with the router's mean
-    gate entropy and the switch-transformer load-balance loss.
+    Tokens shard over ``batch_axes + (axis,)`` on the batch dim (pass the
+    mesh axes the batch is already data-parallel over so the shard_map does
+    not force an all-gather); expert weights shard on their leading expert
+    dim; two all_to_alls move token bins to expert owners and back. Returns
+    [B, S, d] plus an aux dict with the router's mean gate entropy and the
+    switch-transformer load-balance loss.
     """
     n_dev = mesh.shape[axis]
+    for a in batch_axes:
+        n_dev_b = mesh.shape[a]
+        if x.shape[0] % n_dev_b:
+            raise ValueError(f"batch {x.shape[0]} not divisible by axis {a}={n_dev_b}")
+    n_batch_shards = 1
+    for a in batch_axes:
+        n_batch_shards *= mesh.shape[a]
     b, s, d = x.shape
     e = mlp.n_experts
     if e % n_dev:
         raise ValueError(f"experts {e} not divisible by axis size {n_dev}")
-    if b % n_dev:
-        raise ValueError(f"batch {b} not divisible by axis size {n_dev}")
-    t_local = (b // n_dev) * s
+    if b % (n_dev * n_batch_shards):
+        raise ValueError(
+            f"batch {b} not divisible by expert x batch shards {n_dev * n_batch_shards}"
+        )
+    t_local = (b // (n_dev * n_batch_shards)) * s
     capacity = max(1, int(capacity_factor * t_local / e))
 
     graphdef, params = nnx.split(mlp)
@@ -137,10 +175,11 @@ def expert_parallel_mlp(
     param_specs = jax.tree.map(lambda _: P(axis), params)
     # replicate the router gate across devices (it scores all experts)
     param_specs["w_gate"] = jax.tree.map(lambda _: P(), param_specs["w_gate"])
+    token_spec = P(batch_axes + (axis,)) if batch_axes else P(axis)
     return jax.shard_map(
         _moe,
         mesh=mesh,
-        in_specs=(param_specs, P(axis)),
-        out_specs=(P(axis), {"gate_entropy": P(), "load_balance_loss": P()}),
+        in_specs=(param_specs, token_spec),
+        out_specs=(token_spec, {"gate_entropy": P(), "load_balance_loss": P()}),
         check_vma=False,
     )(params, x)

@@ -265,6 +265,9 @@ class GRPOTrainer(Trainer):
         if self.gradient_accumulation_step > 1:
             optimizer = optax.MultiSteps(optimizer, every_k_schedule=self.gradient_accumulation_step)
 
+        if hasattr(diffuser.denoiser, "set_parallel_mesh"):
+            diffuser.denoiser.set_parallel_mesh(self.mesh)
+
         modules = _TrainModules(diffuser.denoiser, diffuser.extra_losses)
         # context embedder hard-frozen during GRPO (reference :514-515)
         trainable = nnx.All(nnx.Param, nnx.Not(nnx.PathContains("context_embedder")))

@@ -302,6 +302,11 @@ class BaseTrainer(Trainer):
         for loss in diffuser.extra_losses:
             loss.set_model(diffuser.denoiser)
 
+        # inject the mesh into blocks that shard at call time (ring attention
+        # over 'sp', MoE experts over 'expert') — static attrs, set pre-split
+        if hasattr(diffuser.denoiser, "set_parallel_mesh"):
+            diffuser.denoiser.set_parallel_mesh(self.mesh)
+
         # HF text embedders need their null ("" prompt) embedding cached
         # host-side before the jitted step traces the CFG drop path
         embedder = getattr(diffuser.denoiser, "context_embedder", None)
