@@ -55,7 +55,11 @@ def _set_dotted(cfg: dict[str, Any], dotted: str, value: Any) -> None:
     keys = dotted.split(".")
     node = cfg
     for k in keys[:-1]:
-        node = node.setdefault(k, {})
+        # a null placeholder (e.g. `lr_scheduler: null`) becomes a dict when
+        # the CLI sets nested keys under it (hydra allows the same)
+        if not isinstance(node.get(k), dict):
+            node[k] = {}
+        node = node[k]
     node[keys[-1]] = value
 
 

@@ -37,6 +37,11 @@ class _HostCache:
 
     def __init__(self) -> None:
         self.null: dict[str, np.ndarray] | None = None
+        # host-side segment layouts (e.g. SD3's CLIP|T5 sequence concat):
+        # boundary indices where each trailing segment starts, for the null
+        # embedding and for the most recently encoded batch
+        self.null_boundaries: np.ndarray | None = None
+        self.last_boundaries: np.ndarray | None = None
 
 
 class HFTextEmbedder(ContextEmbedder):
@@ -52,9 +57,15 @@ class HFTextEmbedder(ContextEmbedder):
 
     def embed_host(self, texts: Sequence[str]) -> dict[str, np.ndarray]:
         encode = self._encode_fn or self._default_encode
-        out = encode(list(texts))
+        out = dict(encode(list(texts)))
+        # segment layout (if the encoder concatenates sub-encoder sequences)
+        # stays host-side: it shapes the trace-time null constant, it is not
+        # batch data
+        self._cache.last_boundaries = out.pop("segment_boundaries", None)
         if self._cache.null is None:
-            self._cache.null = {k: np.asarray(v[0]) for k, v in encode([""]).items()}
+            null_out = dict(encode([""]))
+            self._cache.null_boundaries = null_out.pop("segment_boundaries", None)
+            self._cache.null = {k: np.asarray(v[0]) for k, v in null_out.items()}
         return out
 
     def drop_conditions(self, context: Sequence[str], drop: np.ndarray) -> list[str]:
@@ -87,6 +98,44 @@ class HFTextEmbedder(ContextEmbedder):
         )
         return self._cache.null[key]
 
+    @staticmethod
+    def _fit_segment(emb: np.ndarray, mask: np.ndarray, target: int) -> tuple[np.ndarray, np.ndarray]:
+        """Tail-pad/truncate one segment to ``target`` tokens (host numpy)."""
+        if emb.shape[0] < target:
+            pad = target - emb.shape[0]
+            emb = np.pad(emb, ((0, pad), (0, 0)))
+            mask = np.pad(mask, (0, pad))
+        return emb[:target], mask[:target]
+
+    def _fit_null(self, seq: int) -> tuple[np.ndarray, np.ndarray]:
+        """Fit the cached "" embedding to the batch sequence length.
+
+        When the encoder records ``segment_boundaries`` (SD3's CLIP|T5
+        sequence concat, reference sd3.py:187-216 handles nulls per encoder),
+        each null segment is fitted to the corresponding batch segment so the
+        boundary stays aligned; otherwise the whole sequence is tail-fitted.
+        """
+        null_emb = np.asarray(self._null("embeddings"), np.float32)
+        null_mask = np.asarray(
+            self._cache.null.get("attn_mask", np.ones((null_emb.shape[0],), bool))
+        ).astype(bool)
+        nb = self._cache.null_boundaries
+        bb = self._cache.last_boundaries
+        if nb is not None and bb is not None and len(nb) == len(bb):
+            n_starts = [0, *np.asarray(nb, int).tolist(), null_emb.shape[0]]
+            b_starts = [0, *np.asarray(bb, int).tolist(), seq]
+            embs, masks = [], []
+            for i in range(len(n_starts) - 1):
+                e, m = self._fit_segment(
+                    null_emb[n_starts[i]:n_starts[i + 1]],
+                    null_mask[n_starts[i]:n_starts[i + 1]],
+                    b_starts[i + 1] - b_starts[i],
+                )
+                embs.append(e)
+                masks.append(m)
+            return np.concatenate(embs, 0), np.concatenate(masks, 0)
+        return self._fit_segment(null_emb, null_mask, seq)
+
     def __call__(self, context: Any, drop: jax.Array | None = None) -> ContextEmbedderOutput:
         if isinstance(context, (list, tuple)):
             raise TypeError(
@@ -102,17 +151,9 @@ class HFTextEmbedder(ContextEmbedder):
             attn_mask = jnp.ones((batch, seq), bool)
 
         if drop is not None:
-            null_emb = np.asarray(self._null("embeddings"), np.float32)
-            null_mask = np.asarray(
-                self._cache.null.get("attn_mask", np.ones((null_emb.shape[0],), bool))
-            ).astype(bool)
-            # fit the null sequence to the batch sequence length
-            if null_emb.shape[0] < seq:
-                pad = seq - null_emb.shape[0]
-                null_emb = np.pad(null_emb, ((0, pad), (0, 0)))
-                null_mask = np.pad(null_mask, (0, pad))
-            null_emb = jnp.asarray(null_emb[:seq], emb.dtype)
-            null_mask = jnp.asarray(null_mask[:seq])
+            null_emb, null_mask = self._fit_null(seq)
+            null_emb = jnp.asarray(null_emb, emb.dtype)
+            null_mask = jnp.asarray(null_mask)
             out["embeddings"] = jnp.where(drop[:, None, None], null_emb[None], emb)
             attn_mask = jnp.where(drop[:, None], null_mask[None], attn_mask)
 
@@ -295,4 +336,8 @@ class SD3TextEmbedder(HFTextEmbedder):
             "embeddings": seq.float().numpy(),
             "attn_mask": mask.numpy(),
             "pooled_embeddings": pooled.float().numpy(),
+            # where the T5 segment starts — lets the CFG null-swap fit the
+            # null's CLIP/T5 segments independently (reference sd3.py:187-216
+            # builds nulls per encoder)
+            "segment_boundaries": np.asarray([seq_len], np.int32),
         }

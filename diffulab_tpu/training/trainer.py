@@ -71,9 +71,11 @@ class Trainer:
         ema_update_every: int = 10,
         mesh: MeshConfig | dict[str, int] | None = None,
         compile: bool = True,  # noqa: A002 - parity with the reference flag; jit is always on
+        log_every_n_steps: int | None = None,
     ):
         del compile  # everything is jit-compiled; flag kept for config parity
         self.n_epoch = n_epoch
+        self.log_every_n_steps = log_every_n_steps
         self.gradient_accumulation_step = gradient_accumulation_step
         self.precision_type = precision_type
         self.use_ema = use_ema
@@ -391,12 +393,18 @@ class BaseTrainer(Trainer):
                 for key, loss in losses.items():
                     prev = loss_sums.get(key)
                     loss_sums[key] = loss if prev is None else prev + loss
+                # step-level curves (opt-in: each log forces a device sync)
+                if self.log_every_n_steps and step % self.log_every_n_steps == 0:
+                    self.tracker.log(
+                        {f"train_step/{k}": float(v) for k, v in losses.items()},
+                        step=step,
+                    )
 
             for key, total in loss_sums.items():
                 tracker_meter.update(float(total) / max(n_steps_epoch, 1), key=f"train/{key}")
             for key, value in tracker_meter.avg.items():
                 if key.startswith("train/"):
-                    self.tracker.log({key: value}, step=epoch + 1)
+                    self.tracker.log({key: value, "epoch": epoch + 1}, step=step)
             tracker_meter.reset()
 
             # --- validation ------------------------------------------------
@@ -417,7 +425,7 @@ class BaseTrainer(Trainer):
                 total_loss = 0.0
                 for key, value in tracker_meter.avg.items():
                     if key.startswith("val/"):
-                        self.tracker.log({key: value}, step=epoch + 1)
+                        self.tracker.log({key: value, "epoch": epoch + 1}, step=step)
                         total_loss += value
 
                 # write current eval params back into the live module for generation

@@ -82,21 +82,35 @@ def main() -> None:
         project_name=trainer_cfg.get("project_name", "diffulab"),
         save_path=trainer_cfg.get("save_path"),
         use_ema=trainer_cfg.get("use_ema", False),
+        ema_rate=trainer_cfg.get("ema_rate", 0.999),
         ema_update_after_step=trainer_cfg.get("ema_update_after_step", 0),
         ema_update_every=trainer_cfg.get("ema_update_every", 10),
         run_config=cfg,
         compile=trainer_cfg.get("compile", False),
         mesh=trainer_cfg.get("mesh"),
         init_kwargs={"wandb": trainer_cfg.get("wandb", {})},
+        log_every_n_steps=trainer_cfg.get("log_every_n_steps"),
     )
+
+    scheduler = None
+    if trainer_cfg.get("lr_scheduler"):
+        scheduler = instantiate(trainer_cfg["lr_scheduler"])
 
     trainer.train(
         diffuser=diffuser,
         optimizer=optimizer,
         train_dataloader=train_loader,
         val_dataloader=val_loader,
+        scheduler=scheduler,
+        per_batch_scheduler=trainer_cfg.get("per_batch_scheduler", False),
         log_validation_images=trainer_cfg.get("log_validation_images", True),
+        p_classifier_free_guidance=trainer_cfg.get("p_classifier_free_guidance", 0.2),
         val_steps=trainer_cfg.get("val_steps", 50),
+        val_step_shift=trainer_cfg.get("val_step_shift"),
+        denoiser_ckpt=trainer_cfg.get("denoiser_ckpt"),
+        optimizer_ckpt=trainer_cfg.get("optimizer_ckpt"),
+        ema_ckpt=trainer_cfg.get("ema_ckpt"),
+        epoch_start=trainer_cfg.get("epoch_start", 0),
         seed=args.seed,
     )
 

@@ -91,6 +91,7 @@ def main() -> None:
         compile=trainer_cfg.get("compile", False),
         mesh=trainer_cfg.get("mesh"),
         init_kwargs={"wandb": trainer_cfg.get("wandb", {})},
+        log_every_n_steps=trainer_cfg.get("log_every_n_steps"),
     )
     trainer.train(
         diffuser=diffuser,
@@ -101,6 +102,13 @@ def main() -> None:
         val_steps=trainer_cfg.get("val_steps", 50),
         val_step_shift=trainer_cfg.get("val_step_shift"),
         p_classifier_free_guidance=trainer_cfg.get("p_classifier_free_guidance", 0),
+        scheduler=(instantiate(trainer_cfg["lr_scheduler"])
+                   if trainer_cfg.get("lr_scheduler") else None),
+        per_batch_scheduler=trainer_cfg.get("per_batch_scheduler", False),
+        denoiser_ckpt=trainer_cfg.get("denoiser_ckpt"),
+        optimizer_ckpt=trainer_cfg.get("optimizer_ckpt"),
+        ema_ckpt=trainer_cfg.get("ema_ckpt"),
+        epoch_start=trainer_cfg.get("epoch_start", 0),
         seed=args.seed,
     )
 

