@@ -1,0 +1,291 @@
+"""Cross-framework numeric validation of the torch->flax weight ports.
+
+Round-1 weight-porting tests exercised key mapping and shapes only
+(tests/test_weight_porting.py); nothing verified that the ported modules
+*compute the same function* as the torch originals. These tests build
+torch-side mirrors of the source architectures — the CompVis/diffusers
+AutoencoderKL blocks (reference vision_towers/flux_2.py uses diffusers'
+``AutoencoderKLFlux2``) and the DINOv2 ViT block stack (reference
+repa/dinov2.py loads torch.hub dinov2) — run them on CPU torch, port their
+state dicts through the real loaders, and require allclose agreement.
+This pins down every convention the port relies on: conv kernel layout
+(OIHW -> HWIO), asymmetric stride-2 downsample padding, GroupNorm channel
+grouping, nearest upsample, pre-norm attention, LayerScale.
+
+No real checkpoints exist in this zero-egress image; a torch mirror with
+randomly-initialized weights is the strongest available oracle, and the
+state dicts use the genuine diffusers/dinov2 key naming so a real
+checkpoint drops in unchanged.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as tnn
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+from flax import nnx
+
+from diffulab_tpu.networks.repa.vit import ViTEncoder, load_dinov2_state_dict
+from diffulab_tpu.networks.vision_towers.vae import (
+    VAEDecoder,
+    VAEEncoder,
+    load_autoencoder_kl_state_dict,
+)
+
+torch.manual_seed(0)
+
+
+# --------------------------------------------------------------------------- #
+# torch mirror of the diffusers AutoencoderKL architecture (small config)
+# --------------------------------------------------------------------------- #
+
+
+class TResnet(tnn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.norm1 = tnn.GroupNorm(min(32, cin), cin, eps=1e-6)
+        self.conv1 = tnn.Conv2d(cin, cout, 3, padding=1)
+        self.norm2 = tnn.GroupNorm(min(32, cout), cout, eps=1e-6)
+        self.conv2 = tnn.Conv2d(cout, cout, 3, padding=1)
+        self.conv_shortcut = tnn.Conv2d(cin, cout, 1) if cin != cout else None
+
+    def forward(self, x):
+        h = self.conv1(F.silu(self.norm1(x)))
+        h = self.conv2(F.silu(self.norm2(h)))
+        return (self.conv_shortcut(x) if self.conv_shortcut is not None else x) + h
+
+
+class TAttn(tnn.Module):
+    """diffusers Attention(heads=1) as used in the VAE mid block."""
+
+    def __init__(self, c):
+        super().__init__()
+        self.group_norm = tnn.GroupNorm(min(32, c), c, eps=1e-6)
+        self.to_q = tnn.Linear(c, c)
+        self.to_k = tnn.Linear(c, c)
+        self.to_v = tnn.Linear(c, c)
+        self.to_out = tnn.ModuleList([tnn.Linear(c, c)])
+        self.scale = c ** -0.5
+
+    def forward(self, x):
+        b, c, h, w = x.shape
+        t = self.group_norm(x).reshape(b, c, h * w).transpose(1, 2)
+        q, k, v = self.to_q(t), self.to_k(t), self.to_v(t)
+        attn = torch.softmax(q @ k.transpose(1, 2) * self.scale, dim=-1)
+        out = self.to_out[0](attn @ v)
+        return x + out.transpose(1, 2).reshape(b, c, h, w)
+
+
+class TDown(tnn.Module):
+    """diffusers Downsample2d: pad right/bottom by 1, stride-2 valid conv."""
+
+    def __init__(self, c):
+        super().__init__()
+        self.conv = tnn.Conv2d(c, c, 3, stride=2, padding=0)
+
+    def forward(self, x):
+        return self.conv(F.pad(x, (0, 1, 0, 1)))
+
+
+def build_torch_vae(base=8, ch_mult=(1, 2), nres=2, z=4):
+    enc = tnn.Module()
+    enc.conv_in = tnn.Conv2d(3, base, 3, padding=1)
+    enc.downs = tnn.ModuleList()
+    ch = base
+    for level, mult in enumerate(ch_mult):
+        stage = tnn.Module()
+        stage.resnets = tnn.ModuleList()
+        for _ in range(nres):
+            stage.resnets.append(TResnet(ch, base * mult))
+            ch = base * mult
+        stage.down = TDown(ch) if level != len(ch_mult) - 1 else None
+        enc.downs.append(stage)
+    enc.mid_res1, enc.mid_attn, enc.mid_res2 = TResnet(ch, ch), TAttn(ch), TResnet(ch, ch)
+    enc.norm_out = tnn.GroupNorm(min(32, ch), ch, eps=1e-6)
+    enc.conv_out = tnn.Conv2d(ch, 2 * z, 3, padding=1)
+
+    dec = tnn.Module()
+    dec.conv_in = tnn.Conv2d(z, ch, 3, padding=1)
+    dec.mid_res1, dec.mid_attn, dec.mid_res2 = TResnet(ch, ch), TAttn(ch), TResnet(ch, ch)
+    dec.ups = tnn.ModuleList()
+    for level, mult in enumerate(reversed(ch_mult)):
+        stage = tnn.Module()
+        stage.resnets = tnn.ModuleList()
+        for _ in range(nres + 1):
+            stage.resnets.append(TResnet(ch, base * mult))
+            ch = base * mult
+        stage.up = tnn.Conv2d(ch, ch, 3, padding=1) if level != len(ch_mult) - 1 else None
+        dec.ups.append(stage)
+    dec.norm_out = tnn.GroupNorm(min(32, ch), ch, eps=1e-6)
+    dec.conv_out = tnn.Conv2d(ch, 3, 3, padding=1)
+    return enc, dec
+
+
+def torch_vae_encode(enc, x):
+    h = enc.conv_in(x)
+    for stage in enc.downs:
+        for r in stage.resnets:
+            h = r(h)
+        if stage.down is not None:
+            h = stage.down(h)
+    h = enc.mid_res2(enc.mid_attn(enc.mid_res1(h)))
+    return enc.conv_out(F.silu(enc.norm_out(h)))
+
+
+def torch_vae_decode(dec, z):
+    h = dec.conv_in(z)
+    h = dec.mid_res2(dec.mid_attn(dec.mid_res1(h)))
+    for stage in dec.ups:
+        for r in stage.resnets:
+            h = r(h)
+        if stage.up is not None:
+            h = stage.up(F.interpolate(h, scale_factor=2.0, mode="nearest"))
+    return dec.conv_out(F.silu(dec.norm_out(h)))
+
+
+def _diffusers_sd(enc, dec):
+    """Flatten the mirrors into genuine diffusers AutoencoderKL key naming."""
+    sd = {}
+
+    def dump(mod, prefix):
+        for k, v in mod.state_dict().items():
+            sd[prefix + k] = v.detach().numpy()
+
+    dump(enc.conv_in, "encoder.conv_in.")
+    for i, stage in enumerate(enc.downs):
+        for j, r in enumerate(stage.resnets):
+            dump(r, f"encoder.down_blocks.{i}.resnets.{j}.")
+        if stage.down is not None:
+            dump(stage.down.conv, f"encoder.down_blocks.{i}.downsamplers.0.conv.")
+    dump(enc.mid_res1, "encoder.mid_block.resnets.0.")
+    dump(enc.mid_res2, "encoder.mid_block.resnets.1.")
+    dump(enc.mid_attn, "encoder.mid_block.attentions.0.")
+    dump(enc.norm_out, "encoder.conv_norm_out.")
+    dump(enc.conv_out, "encoder.conv_out.")
+    dump(dec.conv_in, "decoder.conv_in.")
+    dump(dec.mid_res1, "decoder.mid_block.resnets.0.")
+    dump(dec.mid_res2, "decoder.mid_block.resnets.1.")
+    dump(dec.mid_attn, "decoder.mid_block.attentions.0.")
+    for i, stage in enumerate(dec.ups):
+        for j, r in enumerate(stage.resnets):
+            dump(r, f"decoder.up_blocks.{i}.resnets.{j}.")
+        if stage.up is not None:
+            dump(stage.up, f"decoder.up_blocks.{i}.upsamplers.0.conv.")
+    dump(dec.norm_out, "decoder.conv_norm_out.")
+    dump(dec.conv_out, "decoder.conv_out.")
+    return sd
+
+
+def test_autoencoder_kl_numeric_parity():
+    base, ch_mult, nres, z = 8, (1, 2), 2, 4
+    tenc, tdec = build_torch_vae(base, ch_mult, nres, z)
+    tenc.eval(), tdec.eval()
+
+    fenc = VAEEncoder(in_channels=3, base_channels=base, ch_mult=ch_mult,
+                      num_res_blocks=nres, z_channels=z, rngs=nnx.Rngs(0))
+    fdec = VAEDecoder(out_channels=3, base_channels=base, ch_mult=ch_mult,
+                      num_res_blocks=nres, z_channels=z, rngs=nnx.Rngs(0))
+    load_autoencoder_kl_state_dict(fenc, fdec, _diffusers_sd(tenc, tdec))
+
+    x = np.random.default_rng(0).normal(size=(2, 3, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        t_mom = torch_vae_encode(tenc, torch.from_numpy(x)).numpy()
+        t_rec = torch_vae_decode(tdec, torch.from_numpy(t_mom[:, :z])).numpy()
+
+    f_mom = np.asarray(fenc(jnp.asarray(x.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(f_mom.transpose(0, 3, 1, 2), t_mom, atol=2e-4, rtol=2e-4)
+
+    f_rec = np.asarray(fdec(jnp.asarray(t_mom[:, :z].transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(f_rec.transpose(0, 3, 1, 2), t_rec, atol=2e-4, rtol=2e-4)
+
+
+# --------------------------------------------------------------------------- #
+# torch mirror of the dinov2 ViT (facebookresearch/dinov2 naming)
+# --------------------------------------------------------------------------- #
+
+
+class TViTBlock(tnn.Module):
+    def __init__(self, dim, heads, ls_init=1e-5):
+        super().__init__()
+        self.norm1 = tnn.LayerNorm(dim, eps=1e-6)
+        self.attn = tnn.Module()
+        self.attn.qkv = tnn.Linear(dim, 3 * dim)
+        self.attn.proj = tnn.Linear(dim, dim)
+        self.ls1 = tnn.Parameter(ls_init * torch.ones(dim))
+        self.norm2 = tnn.LayerNorm(dim, eps=1e-6)
+        self.mlp = tnn.Module()
+        self.mlp.fc1 = tnn.Linear(dim, 4 * dim)
+        self.mlp.fc2 = tnn.Linear(4 * dim, dim)
+        self.ls2 = tnn.Parameter(ls_init * torch.ones(dim))
+        self.heads = heads
+
+    def forward(self, x):
+        b, n, d = x.shape
+        h = self.norm1(x)
+        qkv = self.attn.qkv(h).reshape(b, n, 3, self.heads, d // self.heads)
+        q, k, v = qkv.permute(2, 0, 3, 1, 4)
+        o = F.scaled_dot_product_attention(q, k, v)
+        x = x + self.ls1 * self.attn.proj(o.transpose(1, 2).reshape(b, n, d))
+        h = self.mlp.fc2(F.gelu(self.mlp.fc1(self.norm2(x))))
+        return x + self.ls2 * h
+
+
+def test_dinov2_vit_numeric_parity():
+    dim, depth, heads, patch, grid, regs = 32, 3, 4, 4, 4, 2
+    img = patch * grid
+
+    blocks = tnn.ModuleList([TViTBlock(dim, heads) for _ in range(depth)])
+    patch_proj = tnn.Conv2d(3, dim, patch, stride=patch)
+    norm = tnn.LayerNorm(dim, eps=1e-6)
+    cls_token = torch.randn(1, 1, dim) * 0.02
+    reg_tokens = torch.randn(1, regs, dim) * 0.02
+    pos = torch.randn(1, grid * grid + 1, dim) * 0.02
+
+    def torch_forward(x):
+        b = x.shape[0]
+        t = patch_proj(x).flatten(2).transpose(1, 2)
+        t = torch.cat([cls_token.expand(b, -1, -1), t], dim=1) + pos
+        t = torch.cat([t[:, :1], reg_tokens.expand(b, -1, -1), t[:, 1:]], dim=1)
+        for blk in blocks:
+            t = blk(t)
+        t = norm(t)
+        return t[:, regs + 1:]  # patch tokens
+
+    sd = {
+        "patch_embed.proj.weight": patch_proj.weight.detach().numpy(),
+        "patch_embed.proj.bias": patch_proj.bias.detach().numpy(),
+        "cls_token": cls_token.numpy(),
+        "register_tokens": reg_tokens.numpy(),
+        "pos_embed": pos.numpy(),
+        "norm.weight": norm.weight.detach().numpy(),
+        "norm.bias": norm.bias.detach().numpy(),
+    }
+    for i, blk in enumerate(blocks):
+        p = f"blocks.{i}."
+        sd[p + "norm1.weight"] = blk.norm1.weight.detach().numpy()
+        sd[p + "norm1.bias"] = blk.norm1.bias.detach().numpy()
+        sd[p + "attn.qkv.weight"] = blk.attn.qkv.weight.detach().numpy()
+        sd[p + "attn.qkv.bias"] = blk.attn.qkv.bias.detach().numpy()
+        sd[p + "attn.proj.weight"] = blk.attn.proj.weight.detach().numpy()
+        sd[p + "attn.proj.bias"] = blk.attn.proj.bias.detach().numpy()
+        sd[p + "ls1.gamma"] = blk.ls1.detach().numpy()
+        sd[p + "norm2.weight"] = blk.norm2.weight.detach().numpy()
+        sd[p + "norm2.bias"] = blk.norm2.bias.detach().numpy()
+        sd[p + "mlp.fc1.weight"] = blk.mlp.fc1.weight.detach().numpy()
+        sd[p + "mlp.fc1.bias"] = blk.mlp.fc1.bias.detach().numpy()
+        sd[p + "mlp.fc2.weight"] = blk.mlp.fc2.weight.detach().numpy()
+        sd[p + "mlp.fc2.bias"] = blk.mlp.fc2.bias.detach().numpy()
+        sd[p + "ls2.gamma"] = blk.ls2.detach().numpy()
+
+    model = ViTEncoder(img_size=img, patch_size=patch, embed_dim=dim, depth=depth,
+                       num_heads=heads, num_register_tokens=regs, rngs=nnx.Rngs(0))
+    load_dinov2_state_dict(model, sd)
+
+    x = np.random.default_rng(1).normal(size=(2, 3, img, img)).astype(np.float32)
+    with torch.no_grad():
+        t_out = torch_forward(torch.from_numpy(x)).numpy()
+    f_out = np.asarray(model(jnp.asarray(x.transpose(0, 2, 3, 1)))["patch_tokens"])
+    np.testing.assert_allclose(f_out, t_out, atol=2e-4, rtol=2e-4)
