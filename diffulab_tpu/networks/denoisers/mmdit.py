@@ -407,6 +407,7 @@ class MMDiT(Denoiser):
         mlp_type: str = "swiglu",
         n_experts: int = 8,
         capacity_factor: float = 2.0,
+        pipeline_microbatches: int | None = None,
         *,
         rngs: nnx.Rngs,
         dtype=None,
@@ -428,6 +429,10 @@ class MMDiT(Denoiser):
         self.feature_layers = tuple(feature_layers)
         self.inner_dim = inner_dim
         self.attention_impl = attention_impl
+        # GPipe-over-ppermute staging of the homogeneous DiT block stack over
+        # the mesh's 'pipe' axis (parallel/pipeline.py); None = sequential.
+        self.pipeline_microbatches = pipeline_microbatches
+        self.mesh = None  # static; injected by set_parallel_mesh
 
         kw = dict(rngs=rngs, dtype=dtype, param_dtype=param_dtype)
         heads_dim = inner_dim // num_heads
@@ -496,9 +501,11 @@ class MMDiT(Denoiser):
 
     def set_parallel_mesh(self, mesh) -> None:
         """Inject the device mesh into blocks that need it at call time:
-        ring attention (sequence shards over the 'sp' axis) and MoE MLPs
-        (experts over the 'expert' axis). Trainers call this before
+        ring attention (sequence shards over the 'sp' axis), MoE MLPs
+        (experts over the 'expert' axis), and GPipe pipelining (DiT block
+        stages over the 'pipe' axis). Trainers call this before
         splitting the module; single-chip / no-op meshes are harmless."""
+        self.mesh = mesh
         for block in self.layers:
             attn = getattr(block, "attention", None)
             if attn is not None and hasattr(attn, "mesh"):
@@ -584,15 +591,57 @@ class MMDiT(Denoiser):
         cos_sin = get_cos_sin_ndim_grid(pos_ids, self.rope_base, self.rope_axes_dim)
 
         features: list[jax.Array] = []
-        for i, layer in enumerate(self.layers):
-            x = self._run_block(layer, x, emb, cos_sin, None)
-            if capture_features and i in self.feature_layers:
-                features.append(x)
+        pipe_n = self.mesh.shape.get("pipe", 1) if self.mesh is not None else 1
+        if self.pipeline_microbatches and pipe_n > 1 and not capture_features:
+            x = self._pipelined_blocks(x, emb, cos_sin, pipe_n)
+        else:
+            for i, layer in enumerate(self.layers):
+                x = self._run_block(layer, x, emb, cos_sin, None)
+                if capture_features and i in self.feature_layers:
+                    features.append(x)
         x = self.last_layer(x, emb)
         out: ModelOutput = {"x": x}
         if capture_features:
             out["features"] = features
         return out
+
+    def _pipelined_blocks(self, x, emb, cos_sin, pipe_n: int):
+        """Run the homogeneous DiT block stack through the GPipe engine over
+        the mesh's 'pipe' axis (parallel/pipeline.py). Per-layer states are
+        stacked at trace time; gradients flow back through the stack to each
+        block's own params. ``capture_features`` and ``use_checkpoint`` fall
+        back to the sequential path (feature taps cross stage boundaries)."""
+        from diffulab_tpu.parallel.pipeline import pipeline_apply
+
+        assert len(self.layers) % pipe_n == 0, (
+            f"depth {len(self.layers)} not divisible by pipe={pipe_n}"
+        )
+        graphdef, _ = nnx.split(self.layers[0])
+        stacked = jax.tree.map(
+            lambda *leaves: jnp.stack(leaves),
+            *[nnx.split(layer)[1] for layer in self.layers],
+        )
+        cos, sin = cos_sin
+
+        def stage(layer_state, state):
+            block = nnx.merge(graphdef, layer_state)
+            out = dict(state)
+            out["x"] = block(state["x"], state["y"], (state["cos"], state["sin"]))
+            return out
+
+        batch_axes = tuple(
+            a for a in ("data", "fsdp") if self.mesh.shape.get(a, 1) > 1
+        )
+        out = pipeline_apply(
+            stage,
+            stacked,
+            {"x": x, "y": emb, "cos": cos, "sin": sin},
+            mesh=self.mesh,
+            axis="pipe",
+            n_microbatches=self.pipeline_microbatches,
+            batch_axes=batch_axes,
+        )
+        return out["x"]
 
     def __call__(
         self,

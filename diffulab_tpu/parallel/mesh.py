@@ -24,9 +24,10 @@ from jax.sharding import Mesh
 class MeshConfig:
     """Mesh axis sizes. ``data=-1`` absorbs all remaining devices.
 
-    ``sp`` (sequence parallel: ring attention shards the token axis) and
-    ``expert`` (MoE all-to-all) default to 1 — size-1 mesh axes are free, so
-    every config shares one 5-axis mesh shape.
+    ``sp`` (sequence parallel: ring attention shards the token axis),
+    ``expert`` (MoE all-to-all), and ``pipe`` (GPipe-over-ppermute stages)
+    default to 1 — size-1 mesh axes are free, so every config shares one
+    6-axis mesh shape.
     """
 
     data: int = -1
@@ -34,23 +35,25 @@ class MeshConfig:
     tensor: int = 1
     sp: int = 1
     expert: int = 1
+    pipe: int = 1
 
-    def resolve(self, n_devices: int | None = None) -> tuple[int, int, int, int, int]:
+    def resolve(self, n_devices: int | None = None) -> tuple[int, int, int, int, int, int]:
         n = n_devices if n_devices is not None else jax.device_count()
-        fixed = self.fsdp * self.tensor * self.sp * self.expert
+        fixed = self.fsdp * self.tensor * self.sp * self.expert * self.pipe
         data = self.data
         if data == -1:
             assert n % fixed == 0, (
-                f"device count {n} not divisible by fsdp*tensor*sp*expert={fixed}"
+                f"device count {n} not divisible by fsdp*tensor*sp*expert*pipe={fixed}"
             )
             data = n // fixed
         assert data * fixed == n, (
-            f"mesh {data}x{self.fsdp}x{self.tensor}x{self.sp}x{self.expert} != device count {n}"
+            f"mesh {data}x{self.fsdp}x{self.tensor}x{self.sp}x{self.expert}x{self.pipe}"
+            f" != device count {n}"
         )
-        return data, self.fsdp, self.tensor, self.sp, self.expert
+        return data, self.fsdp, self.tensor, self.sp, self.expert, self.pipe
 
 
-AXIS_NAMES = ("data", "fsdp", "tensor", "sp", "expert")
+AXIS_NAMES = ("data", "fsdp", "tensor", "sp", "expert", "pipe")
 
 
 def make_mesh(config: MeshConfig | None = None, devices=None) -> Mesh:

@@ -52,6 +52,7 @@ def pipeline_apply(
     mesh: Mesh,
     axis: str = "pipe",
     n_microbatches: int,
+    batch_axes: tuple[str, ...] = (),
 ) -> Any:
     """Run ``inputs`` through all L layers, pipelined over ``mesh[axis]``.
 
@@ -66,16 +67,23 @@ def pipeline_apply(
     total_layers = leaves[0].shape[0]
     if total_layers % n_stages:
         raise ValueError(f"L={total_layers} not divisible by pipe={n_stages}")
+    # batch_axes: mesh axes the leading (batch) dim of ``inputs`` is sharded
+    # over (the trainer's (data, fsdp) batch sharding) — each data shard runs
+    # its own microbatch stream so pp composes with dp without gathering.
+    dp = 1
+    for a in batch_axes:
+        dp *= mesh.shape[a]
     batch = jax.tree.leaves(inputs)[0].shape[0]
-    if batch % n_microbatches:
-        raise ValueError(f"B={batch} not divisible by M={n_microbatches}")
+    if batch % (n_microbatches * dp):
+        raise ValueError(f"B={batch} not divisible by M*dp={n_microbatches * dp}")
     m = n_microbatches
 
     param_specs = jax.tree.map(lambda _: P(axis), stacked_params)
-    in_specs = jax.tree.map(lambda _: P(), inputs)
+    in_specs = jax.tree.map(lambda _: P(batch_axes if batch_axes else None), inputs)
 
     def _pipelined(local_params: Any, xs: Any) -> Any:
         s_idx = lax.axis_index(axis)
+        local_batch = jax.tree.leaves(xs)[0].shape[0]
         # [B, ...] -> [M, B/M, ...]
         xm = jax.tree.map(lambda a: a.reshape(m, a.shape[0] // m, *a.shape[1:]), xs)
         state0 = _pcast_varying(jax.tree.map(lambda a: jnp.zeros_like(a[0]), xm), axis)
@@ -124,13 +132,13 @@ def pipeline_apply(
             ),
             outs,
         )
-        return jax.tree.map(lambda o: o.reshape(batch, *o.shape[2:]), outs)
+        return jax.tree.map(lambda o: o.reshape(local_batch, *o.shape[2:]), outs)
 
     return jax.shard_map(
         _pipelined,
         mesh=mesh,
         in_specs=(param_specs, in_specs),
-        out_specs=jax.tree.map(lambda _: P(), inputs),
+        out_specs=jax.tree.map(lambda _: P(batch_axes if batch_axes else None), inputs),
         check_vma=True,
     )(stacked_params, inputs)
 

@@ -41,10 +41,10 @@ def _loss_fn_builder(graphdef, rest, diffusion):
 
 
 def test_mesh_config_resolution():
-    assert MeshConfig(data=-1, fsdp=2, tensor=2).resolve(8) == (2, 2, 2, 1, 1)
-    assert MeshConfig(data=8).resolve(8) == (8, 1, 1, 1, 1)
+    assert MeshConfig(data=-1, fsdp=2, tensor=2).resolve(8) == (2, 2, 2, 1, 1, 1)
+    assert MeshConfig(data=8).resolve(8) == (8, 1, 1, 1, 1, 1)
     mesh = make_mesh(MeshConfig(data=4, fsdp=2, tensor=1))
-    assert dict(mesh.shape) == {"data": 4, "fsdp": 2, "tensor": 1, "sp": 1, "expert": 1}
+    assert dict(mesh.shape) == {"data": 4, "fsdp": 2, "tensor": 1, "sp": 1, "expert": 1, "pipe": 1}
 
 
 def test_param_shardings_follow_logical_rules():

@@ -80,3 +80,11 @@ def test_moe_dense_fallback_without_mesh():
     out = model(jnp.zeros((2, 16, 16, 3)), jnp.zeros((2,)),
                 cond={"y": jnp.zeros((2,), jnp.int32)})
     assert np.isfinite(np.asarray(out["x"])).all()
+
+
+def test_pipeline_config_trains(tmp_path):
+    model = _train_from_config(
+        tmp_path, "train_cifar10_pipeline", ["model.pipeline_microbatches=2"]
+    )
+    assert model.pipeline_microbatches == 2
+    assert model.mesh is not None and model.mesh.shape["pipe"] == 2
