@@ -47,52 +47,17 @@ def fused_vmem_bytes(sq: int, skv: int, h: int, d: int, itemsize: int = 2) -> in
     return 7 * max(sq, skv) * h * d * itemsize + 2 * sq * skv * 4
 
 
-def _rope_rotate(x, cos2, sin2, half):
-    """Planar rotate-half RoPE on the first ``2*half`` channels of [S, D].
-
-    ``cos2 = [c; c]``, ``sin2 = [-s; s]`` (built in :func:`_mha_forward`), so
-    ``rot(x) = x * cos2 + swap_halves(x) * sin2`` reproduces
-    :func:`diffulab_tpu.networks.nn.apply_rope_ndim_planar` with two
-    multiplies and one concat per operand — all in VMEM."""
-    rot = 2 * half
-    xr = x[:, :rot]
-    swapped = jnp.concatenate([x[:, half:rot], x[:, :half]], axis=1)
-    rotated = xr * cos2 + swapped * sin2
-    if rot == x.shape[1]:
-        return rotated
-    return jnp.concatenate([rotated, x[:, rot:]], axis=1)
-
-
-def _rope_rotate_inv(x, cos2, sin2, half):
-    """Transpose (inverse) rotation: ``x * cos2 - swap_halves(x) * sin2``."""
-    rot = 2 * half
-    xr = x[:, :rot]
-    swapped = jnp.concatenate([x[:, half:rot], x[:, :half]], axis=1)
-    rotated = xr * cos2 - swapped * sin2
-    if rot == x.shape[1]:
-        return rotated
-    return jnp.concatenate([rotated, x[:, rot:]], axis=1)
-
-
-def _mha_fwd_kernel(q_ref, k_ref, v_ref, mask_ref, rope_refs, o_ref, lse_ref,
-                    *, sm_scale, n_heads, head_dim, rope_half):
+def _mha_fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *, sm_scale, n_heads, head_dim):
     """Refs are [1, S, H*D]; heads are static lane slices (Mosaic cannot
     shape-cast through interior unit dims, so 4-D [1, S, H, D] refs fail)."""
     d = head_dim
     mask = None
     if mask_ref is not None:
         mask = mask_ref[0, 0, :][None, :] != 0  # [1, Skv]
-    cos2 = sin2 = None
-    if rope_refs is not None:
-        cos2 = rope_refs[0][0].astype(q_ref.dtype)  # [S, 2*half]
-        sin2 = rope_refs[1][0].astype(q_ref.dtype)
     lse_cols = []
     for hh in range(n_heads):
         q = q_ref[0, :, hh * d:(hh + 1) * d]
         k = k_ref[0, :, hh * d:(hh + 1) * d]
-        if cos2 is not None:
-            q = _rope_rotate(q, cos2, sin2, rope_half)
-            k = _rope_rotate(k, cos2, sin2, rope_half)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [Sq, Skv]
@@ -119,24 +84,15 @@ def _mha_fwd_kernel(q_ref, k_ref, v_ref, mask_ref, rope_refs, o_ref, lse_ref,
     lse_ref[0] = jnp.concatenate(lse_cols, axis=1)  # [Sq, H]
 
 
-def _mha_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, mask_ref, rope_refs,
-                    dq_ref, dk_ref, dv_ref, *, sm_scale, n_heads, head_dim, rope_half):
+def _mha_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, mask_ref,
+                    dq_ref, dk_ref, dv_ref, *, sm_scale, n_heads, head_dim):
     d = head_dim
     mask = None
     if mask_ref is not None:
         mask = mask_ref[0, 0, :][None, :] != 0
-    cos2 = sin2 = cos2_f = sin2_f = None
-    if rope_refs is not None:
-        cos2_f = rope_refs[0][0]  # fp32, for the dq/dk inverse rotation
-        sin2_f = rope_refs[1][0]
-        cos2 = cos2_f.astype(q_ref.dtype)  # match the fwd rotation numerics
-        sin2 = sin2_f.astype(q_ref.dtype)
     for hh in range(n_heads):
         q = q_ref[0, :, hh * d:(hh + 1) * d]
         k = k_ref[0, :, hh * d:(hh + 1) * d]
-        if cos2 is not None:
-            q = _rope_rotate(q, cos2, sin2, rope_half)
-            k = _rope_rotate(k, cos2, sin2, rope_half)
         v = v_ref[0, :, hh * d:(hh + 1) * d]
         do = do_ref[0, :, hh * d:(hh + 1) * d]
         lse = lse_ref[0, :, hh:hh + 1]  # [Sq, 1]; +inf rows -> p == 0
@@ -165,11 +121,6 @@ def _mha_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, mask_ref, rope_refs,
         dk = jax.lax.dot_general(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
-        if cos2 is not None:
-            # grads w.r.t. the PRE-rotation q/k: apply the transpose rotation
-            # (in fp32, before the output cast)
-            dq = _rope_rotate_inv(dq, cos2_f, sin2_f, rope_half)
-            dk = _rope_rotate_inv(dk, cos2_f, sin2_f, rope_half)
         dq_ref[0, :, hh * d:(hh + 1) * d] = dq.astype(dq_ref.dtype)
         dk_ref[0, :, hh * d:(hh + 1) * d] = dk.astype(dk_ref.dtype)
         dv_ref[0, :, hh * d:(hh + 1) * d] = dv.astype(dv_ref.dtype)
