@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from diffulab_tpu.diffuse.samplers.common import StepResult
-from diffulab_tpu.diffuse.samplers.flow import Euler, EulerMaruyama, Heun
+from diffulab_tpu.diffuse.samplers.flow import DPMSolverPP2M, Euler, EulerMaruyama, Heun
 from diffulab_tpu.diffuse.schedules import flow_linear_timesteps, shift_timestep
 from diffulab_tpu.utils import batch_broadcast, flatten_nonbatch_mean
 
@@ -45,6 +45,7 @@ SAMPLER_REGISTRY = {
     "euler": Euler,
     "euler_maruyama": EulerMaruyama,
     "heun": Heun,
+    "dpmpp_2m": DPMSolverPP2M,
 }
 
 
@@ -245,23 +246,27 @@ class Flow:
         ts = jnp.asarray(self.timesteps)
         t_pairs = jnp.stack([ts[:-1], ts[1:]], axis=1)  # [steps, 2]
         stochastic = isinstance(self.sampler, EulerMaruyama)
+        multistep = getattr(self.sampler, "is_multistep", False)
+        s_state0 = self.sampler.init_state(x) if multistep else {}
 
         def body(carry, t_pair):
-            x_t, step_rng = carry
+            x_t, step_rng, s_state = carry
             step_rng, use_rng = jax.random.split(step_rng)
             t_curr, t_prev = t_pair[0], t_pair[1]
             step = self.one_step_denoise(
                 model_fn, x_t, cond, t_prev, t_curr,
                 guidance_scale=guidance_scale, use_cfg=use_cfg,
                 rng=use_rng if stochastic else None,
+                sampler_args={"state": s_state} if multistep else None,
             )
+            s_state = step.pop("state", s_state)
             ys = None
             if return_intermediates:
                 ys = {k: step[k] for k in step}
             # keep the carry dtype stable (fp32 schedule scalars promote bf16 x)
-            return (step["x_prev"].astype(x_t.dtype), step_rng), ys
+            return (step["x_prev"].astype(x_t.dtype), step_rng, s_state), ys
 
-        (x_final, _), ys = jax.lax.scan(body, (x, rng), t_pairs)
+        (x_final, _, _), ys = jax.lax.scan(body, (x, rng, s_state0), t_pairs)
         if clamp_x:
             x_final = jnp.clip(x_final, -1.0, 1.0)
 

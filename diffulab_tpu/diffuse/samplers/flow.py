@@ -100,6 +100,91 @@ class EulerMaruyama(FlowSampler):
 
 
 @dataclasses.dataclass(frozen=True)
+class DPMSolverPP2M(FlowSampler):
+    """Multistep DPM-Solver++(2M) under the rectified-flow schedule.
+
+    Not in the reference (its flow samplers are Euler and Euler-Maruyama);
+    added because quality-at-few-steps is the sampling headline: one model
+    eval per step (same cost as Euler) with second-order accuracy from the
+    previous step's data prediction — 10-15 DPM++ steps match ~50 Euler
+    steps (measured in BASELINE.md "few-step sampling").
+
+    Rectified flow is the alpha_t = 1-t, sigma_t = t diffusion schedule, so
+    DPM-Solver++ (Lu et al. 2022, arXiv:2211.01095, data-prediction
+    multistep variant) applies with half-log-SNR
+    ``lambda(t) = log((1-t)/t)``:
+
+        h      = lambda(t_prev) - lambda(t_curr)          (> 0)
+        D      = (1 + 1/2r) x0_i - 1/2r x0_{i-1},  r = h_last / h
+        x_prev = (sig_prev/sig_curr) x_t - alpha_prev (e^{-h} - 1) D
+
+    The first step and the final step (t_prev ~ 0, where 1/r blows up) use
+    the first-order update — ``lower_order_final`` in diffusers' multistep
+    solver — which at t_prev = 0 returns the data prediction exactly.
+
+    Multistep: carries ``{x0_prev, h_last, has_prev}`` through the denoise
+    scan (``is_multistep`` protocol; flow.py threads it).
+    """
+
+    name = "dpmpp_2m"
+    is_multistep = True
+    t_eps: float = 1e-5
+
+    def init_state(self, x: jax.Array) -> dict[str, jax.Array]:
+        return {
+            "x0_prev": jnp.zeros_like(x),
+            "h_last": jnp.zeros((), jnp.float32),
+            "has_prev": jnp.zeros((), bool),
+        }
+
+    def _lam(self, t: jax.Array) -> jax.Array:
+        t = jnp.clip(t, self.t_eps, 1.0 - self.t_eps)
+        return jnp.log((1.0 - t) / t)
+
+    def step(
+        self,
+        x_t: jax.Array,
+        v: jax.Array,
+        t_curr: jax.Array,
+        t_prev: jax.Array,
+        *,
+        rng: jax.Array | None = None,
+        x_prev: jax.Array | None = None,
+        state: dict[str, jax.Array] | None = None,
+    ) -> StepResult:
+        del rng, x_prev
+        assert state is not None, "multistep sampler: denoise must thread init_state"
+        t_curr = jnp.asarray(t_curr, jnp.float32)
+        t_prev = jnp.asarray(t_prev, jnp.float32)
+        x0 = x_t - v * t_curr
+
+        h = self._lam(t_prev) - self._lam(t_curr)
+        r_safe = jnp.maximum(state["h_last"] / h, 1e-8)
+        d2 = (1.0 + 1.0 / (2.0 * r_safe)) * x0.astype(jnp.float32) \
+            - (1.0 / (2.0 * r_safe)) * state["x0_prev"].astype(jnp.float32)
+        # first-order on the first step and on the final (t_prev ~ 0) step
+        first_order = jnp.logical_or(~state["has_prev"], t_prev <= self.t_eps)
+        d = jnp.where(first_order, x0.astype(jnp.float32), d2)
+
+        sig_ratio = jnp.clip(t_prev, self.t_eps, 1.0) / jnp.clip(t_curr, self.t_eps, 1.0)
+        sig_ratio = jnp.where(t_prev <= self.t_eps, 0.0, sig_ratio)
+        em1 = jnp.expm1(-h)  # e^{-h} - 1, exactly -1 at the final step
+        em1 = jnp.where(t_prev <= self.t_eps, -1.0, em1)
+        alpha_prev = 1.0 - t_prev
+        x_next = sig_ratio * x_t.astype(jnp.float32) - alpha_prev * em1 * d
+
+        return {
+            "x_prev": x_next.astype(x_t.dtype),
+            "estimated_x0": x0,
+            "state": {
+                "x0_prev": x0.astype(x_t.dtype),
+                "h_last": h,
+                "has_prev": jnp.ones((), bool),
+            },
+        }
+
+
+@dataclasses.dataclass(frozen=True)
 class Heun(FlowSampler):
     """Second-order Heun (predictor-corrector) ODE step.
 
