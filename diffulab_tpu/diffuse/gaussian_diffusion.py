@@ -28,6 +28,7 @@ from diffulab_tpu.diffuse.samplers.common import StepResult
 from diffulab_tpu.diffuse.samplers.gaussian import (
     DDIM,
     DDPM,
+    DPMSolverPPGaussian,
     discretized_gaussian_log_likelihood,
     normal_kl,
 )
@@ -43,6 +44,7 @@ ModelFn = Callable[..., dict[str, jax.Array]]
 SAMPLER_REGISTRY = {
     "ddpm": DDPM,
     "ddim": DDIM,
+    "dpmpp_2m": DPMSolverPPGaussian,
 }
 
 
@@ -61,7 +63,7 @@ class GaussianDiffusion:
 
     def __post_init__(self):
         if self.sampling_method not in SAMPLER_REGISTRY:
-            raise ValueError("sampling method must be one of ['ddpm', 'ddim']")
+            raise ValueError(f"sampling method must be one of {list(SAMPLER_REGISTRY)}")
 
     @property
     def training_steps(self) -> int:
@@ -252,20 +254,24 @@ class GaussianDiffusion:
             x = jax.random.normal(init_rng, data_shape, dtype=dtype)
 
         t_indices = jnp.arange(self.steps - 1, -1, -1, dtype=jnp.int32)
+        multistep = getattr(self.sampler, "is_multistep", False)
+        s_state0 = self.sampler.init_state(x) if multistep else {}
 
         def body(carry, t):
-            x_t, step_rng = carry
+            x_t, step_rng, s_state = carry
             step_rng, use_rng = jax.random.split(step_rng)
             step = self.one_step_denoise(
                 model_fn, x_t, cond, t,
                 clamp_x=clamp_x, guidance_scale=guidance_scale, use_cfg=use_cfg,
                 rng=use_rng,
+                sampler_args={"state": s_state} if multistep else None,
             )
+            s_state = step.pop("state", s_state)
             ys = {k: step[k] for k in step} if return_intermediates else None
             # keep the carry dtype stable (fp32 table scalars promote bf16 x)
-            return (step["x_prev"].astype(x_t.dtype), step_rng), ys
+            return (step["x_prev"].astype(x_t.dtype), step_rng, s_state), ys
 
-        (x_final, _), ys = jax.lax.scan(body, (x, rng), t_indices)
+        (x_final, _, _), ys = jax.lax.scan(body, (x, rng, s_state0), t_indices)
 
         out: dict[str, jax.Array] = {"x": x_final}
         if return_intermediates and ys is not None:

@@ -245,6 +245,88 @@ def normal_kl(mean1, logvar1, mean2, logvar2):
     )
 
 
+@dataclasses.dataclass(frozen=True)
+class DPMSolverPPGaussian(DDPM):
+    """Multistep DPM-Solver++(2M) over the discrete DDPM schedule.
+
+    Not in the reference; the flow-side sibling is
+    :class:`diffulab_tpu.diffuse.samplers.flow.DPMSolverPP2M` (same Lu et
+    al. 2022 data-prediction exponential integrator). Here
+    ``alpha = sqrt(alpha_bar)``, ``sigma = sqrt(1 - alpha_bar)``,
+    ``lambda = log(alpha/sigma)``; x0 comes from the DDPM machinery
+    (:meth:`DDPM._get_p_mean_var`), so every mean type and the
+    learned-variance channel split work unchanged — the variance output is
+    simply unused (deterministic ODE solver). Composes with respacing: the
+    tables are the respaced ones, and indices are respaced indices.
+
+    The first step and the final step (alpha_bar_prev = 1, sigma_prev = 0,
+    where 1/r diverges) run first-order; the final first-order step returns
+    the data prediction exactly.
+    """
+
+    name = "dpmpp_2m"
+    is_multistep = True
+
+    def init_state(self, x: jax.Array) -> dict[str, jax.Array]:
+        return {
+            "x0_prev": jnp.zeros_like(x),
+            "h_last": jnp.zeros((), jnp.float32),
+            "has_prev": jnp.zeros((), bool),
+        }
+
+    def step(
+        self,
+        model_prediction: jax.Array,
+        timesteps: jax.Array,
+        xt: jax.Array,
+        *,
+        rng: jax.Array | None = None,
+        clamp_x: bool = False,
+        x_prev: jax.Array | None = None,
+        state: dict[str, jax.Array] | None = None,
+    ) -> StepResult:
+        del rng, x_prev
+        assert state is not None, "multistep sampler: denoise must thread init_state"
+        _, _, _, x0 = self._get_p_mean_var(model_prediction, xt, timesteps, clamp_x)
+
+        # schedule scalars (timesteps are jnp.full in denoise -> take [0])
+        i = timesteps[0]
+        ab = jnp.asarray(self.alphas_bar, jnp.float32)[i]
+        abp = jnp.asarray(self.alphas_bar_prev, jnp.float32)[i]
+        eps_ = 1e-12
+        alpha_t, sigma_t = jnp.sqrt(ab), jnp.sqrt(1.0 - ab)
+        alpha_p, sigma_p = jnp.sqrt(abp), jnp.sqrt(jnp.maximum(1.0 - abp, 0.0))
+        final = sigma_p <= eps_
+
+        lam_t = 0.5 * jnp.log(jnp.maximum(ab, eps_) / jnp.maximum(1.0 - ab, eps_))
+        lam_p = 0.5 * jnp.log(
+            jnp.maximum(abp, eps_) / jnp.maximum(1.0 - abp, eps_)
+        )
+        h = lam_p - lam_t
+
+        r_safe = jnp.maximum(state["h_last"] / jnp.maximum(h, eps_), 1e-8)
+        x0f = x0.astype(jnp.float32)
+        d2 = (1.0 + 1.0 / (2.0 * r_safe)) * x0f - (1.0 / (2.0 * r_safe)) * state[
+            "x0_prev"
+        ].astype(jnp.float32)
+        first_order = jnp.logical_or(~state["has_prev"], final)
+        d = jnp.where(first_order, x0f, d2)
+
+        sig_ratio = jnp.where(final, 0.0, sigma_p / jnp.maximum(sigma_t, eps_))
+        em1 = jnp.where(final, -1.0, jnp.expm1(-h))
+        x_next = sig_ratio * xt.astype(jnp.float32) - alpha_p * em1 * d
+
+        return {
+            "x_prev": x_next.astype(xt.dtype),
+            "estimated_x0": x0,
+            "state": {
+                "x0_prev": x0.astype(xt.dtype),
+                "h_last": h,
+                "has_prev": jnp.ones((), bool),
+            },
+        }
+
+
 def _approx_standard_normal_cdf(x):
     return 0.5 * (1.0 + jnp.tanh(jnp.sqrt(2.0 / math.pi) * (x + 0.044715 * x**3)))
 

@@ -187,3 +187,67 @@ def test_fixed_variance_loss_unchanged():
                              x0, {}, jnp.array([5, 50]), noise)
     assert set(losses) == {"loss"}
     assert float(losses["loss"]) < 1e-10
+
+
+def test_dpmpp_gaussian_perfect_model_recovers_x0():
+    """Exact-noise model => x0-prediction is constant along the trajectory, so
+    the DPM-Solver++ exponential integrator is exact at EVERY step count."""
+    for n in (5, 50):
+        gd = GaussianDiffusion(n_steps=1000, sampling_method="dpmpp_2m").set_steps(n_steps=n)
+        rng = jax.random.key(0)
+        x0 = jax.random.normal(rng, (2, 4, 4, 1))
+        eps = jax.random.normal(jax.random.key(1), (2, 4, 4, 1))
+        # model sees TRAINING indices (respacing maps them back)
+        ab_train = jnp.asarray(
+            np.cumprod(1 - GaussianDiffusion(n_steps=1000).betas), dtype=jnp.float32
+        )
+
+        def model_fn(x, timesteps, cond, drop):
+            a = ab_train[timesteps].reshape(-1, 1, 1, 1)
+            return {"x": (x - jnp.sqrt(a) * x0) / jnp.sqrt(1 - a)}
+
+        ab_last = jnp.asarray(np.cumprod(1 - gd.betas), jnp.float32)[-1]
+        xT = jnp.sqrt(ab_last) * x0 + jnp.sqrt(1 - ab_last) * eps
+        out = gd.denoise(model_fn, cond={}, rng=jax.random.key(2), x=xT)
+        np.testing.assert_allclose(np.asarray(out["x"]), np.asarray(x0), atol=2e-3)
+
+
+def test_dpmpp_gaussian_beats_ddim_at_few_steps():
+    """Time-varying eps field: 10-step DPM++(2M) lands closer to the
+    1000-step DDIM (fine ODE) solution than 10-step DDIM."""
+    u = jax.random.normal(jax.random.key(3), (2, 4, 4, 1))
+    w = jax.random.normal(jax.random.key(4), (2, 4, 4, 1))
+
+    def model_fn(x, timesteps, cond, drop):
+        # timesteps here are TRAINING indices (respacing maps them); scale to [0,1]
+        s = (timesteps.astype(jnp.float32) / 1000.0).reshape(-1, 1, 1, 1)
+        return {"x": u + jnp.sin(4.0 * s) * w + 0.1 * x}
+
+    xT = jax.random.normal(jax.random.key(5), (2, 4, 4, 1))
+
+    fine = GaussianDiffusion(n_steps=1000, sampling_method="ddim")
+    truth = np.asarray(fine.denoise(model_fn, cond={}, rng=jax.random.key(6), x=xT)["x"])
+
+    errs = {}
+    for method in ("ddim", "dpmpp_2m"):
+        gd = GaussianDiffusion(n_steps=1000, sampling_method=method).set_steps(n_steps=10)
+        out = gd.denoise(model_fn, cond={}, rng=jax.random.key(7), x=xT)
+        errs[method] = float(np.abs(np.asarray(out["x"]) - truth).max())
+    assert errs["dpmpp_2m"] < 0.6 * errs["ddim"], errs
+
+
+def test_dpmpp_gaussian_jits_with_respacing_and_intermediates():
+    gd = GaussianDiffusion(n_steps=100, sampling_method="dpmpp_2m").set_steps(n_steps=8)
+
+    def model_fn(x, timesteps, cond, drop):
+        return {"x": jnp.zeros_like(x)}
+
+    @jax.jit
+    def run(rng):
+        return gd.denoise(model_fn, cond={}, rng=rng, data_shape=(2, 4, 4, 1),
+                          return_intermediates=True)
+
+    out = run(jax.random.key(8))
+    assert out["x"].shape == (2, 4, 4, 1)
+    assert out["xt"].shape == (2, 9, 4, 4, 1)
+    assert np.isfinite(np.asarray(out["x"])).all()
