@@ -290,7 +290,6 @@ class SD3TextEmbedder(HFTextEmbedder):
             CLIPTextModel,
             CLIPTextModelWithProjection,
             T5EncoderModel,
-            T5Tokenizer,
         )
 
         self._models = {
@@ -299,7 +298,10 @@ class SD3TextEmbedder(HFTextEmbedder):
             "clip_g": CLIPTextModelWithProjection.from_pretrained(self.clip_g_path).eval(),
             "tok_g": AutoTokenizer.from_pretrained(self.clip_g_path),
             "t5": T5EncoderModel.from_pretrained(self.t5_path).eval(),
-            "tok_t5": T5Tokenizer.from_pretrained(self.t5_path, legacy=False),
+            # AutoTokenizer: loads T5TokenizerFast from a real t5 checkpoint
+            # (same output as the slow sentencepiece class with legacy=False)
+            # and generic fast tokenizers from local test checkpoints
+            "tok_t5": AutoTokenizer.from_pretrained(self.t5_path, legacy=False),
         }
 
     def _default_encode(self, texts: Sequence[str]) -> dict[str, np.ndarray]:

