@@ -40,6 +40,8 @@ class DataLoader:
         collate_fn: Callable[[Sequence[Any]], Any] | None = None,
         sampler: Any | None = None,
         prefetch: int = 2,
+        process_index: int | None = None,
+        process_count: int | None = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -50,6 +52,29 @@ class DataLoader:
         self.sampler = sampler
         self.prefetch = prefetch
         self._epoch = 0
+        # multi-host: batch_size is GLOBAL; every process draws the same
+        # shuffled order (seeded identically) and loads only its contiguous
+        # slice of each global batch (reference analog: accelerate's
+        # per-rank dataloader split). Defaults resolve lazily so CPU tests
+        # never touch the distributed runtime.
+        self._process_index = process_index
+        self._process_count = process_count
+
+    @property
+    def process_count(self) -> int:
+        if self._process_count is not None:
+            return self._process_count
+        import jax
+
+        return jax.process_count()
+
+    @property
+    def process_index(self) -> int:
+        if self._process_index is not None:
+            return self._process_index
+        import jax
+
+        return jax.process_index()
 
     def __len__(self) -> int:
         if self.sampler is not None:
@@ -57,9 +82,21 @@ class DataLoader:
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
+    def _local_slice(self, batch: Sequence[int]) -> Sequence[int]:
+        pc = self.process_count
+        if pc == 1:
+            return batch
+        local = len(batch) // pc
+        assert local * pc == len(batch), (
+            f"global batch {len(batch)} not divisible by process count {pc}"
+        )
+        pi = self.process_index
+        return batch[pi * local : (pi + 1) * local]
+
     def _batch_indices(self) -> Iterator[Sequence[int]]:
         if self.sampler is not None:
-            yield from self.sampler
+            for batch in self.sampler:
+                yield self._local_slice(batch)
             return
         n = len(self.dataset)
         order = np.arange(n)
@@ -68,7 +105,7 @@ class DataLoader:
             rng.shuffle(order)
         end = n - n % self.batch_size if self.drop_last else n
         for start in range(0, end, self.batch_size):
-            yield order[start : start + self.batch_size]
+            yield self._local_slice(order[start : start + self.batch_size])
 
     def _make_batch(self, idx: Sequence[int]) -> Any:
         # datasets exposing get_batch (native fused gather+normalize) skip the

@@ -77,3 +77,21 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     """device_put a host batch pytree with the global batch sharding."""
     sh = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def global_batch_array(x: Any, mesh: Mesh, sharding: NamedSharding | None = None):
+    """Assemble a global batch array from this process's host-local rows.
+
+    Single-process: plain ``device_put``. Multi-host pods: each process holds
+    only its slice of the global batch (``DataLoader(process_count=...)``
+    yields per-process sub-batches), and
+    ``jax.make_array_from_process_local_data`` stitches them into one global
+    array under the batch sharding — the multi-host analog of the
+    reference's accelerate ``prepare(dataloader)`` per-rank split.
+    """
+    import numpy as np
+
+    sh = sharding or batch_sharding(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(x, sh)
+    return jax.make_array_from_process_local_data(sh, np.asarray(x))

@@ -34,7 +34,12 @@ from flax import nnx
 from diffulab_tpu.diffuse.diffuser import Diffuser
 from diffulab_tpu.networks.nn import make_drop_mask
 from diffulab_tpu.parallel.mesh import MeshConfig, is_main_process, make_mesh
-from diffulab_tpu.parallel.sharding import batch_sharding, get_param_shardings, replicated
+from diffulab_tpu.parallel.sharding import (
+    batch_sharding,
+    get_param_shardings,
+    global_batch_array,
+    replicated,
+)
 from diffulab_tpu.training.checkpoint import restore_checkpoint, save_checkpoint
 from diffulab_tpu.training.ema import EMAConfig, ema_update
 from diffulab_tpu.training.logging import Tracker
@@ -209,7 +214,10 @@ class BaseTrainer(Trainer):
     def _prepare_batch(self, batch: dict[str, Any]) -> dict[str, Any]:
         """Shard array leaves onto the mesh; drop host-only leaves (caption
         strings etc.) — they cannot cross the jit boundary. Conditioning for
-        jitted steps must be arrays (precomputed embeddings or labels)."""
+        jitted steps must be arrays (precomputed embeddings or labels).
+        On multi-host pods each process holds only its rows of the global
+        batch (DataLoader process sharding); ``global_batch_array`` stitches
+        them into global arrays."""
         sh = batch_sharding(self.mesh)
 
         def clean(node):
@@ -221,7 +229,7 @@ class BaseTrainer(Trainer):
                         out[k] = v
                 return out
             if isinstance(node, (np.ndarray, jax.Array)):
-                return jax.device_put(node, sh)
+                return global_batch_array(node, self.mesh, sh)
             if isinstance(node, (int, float, np.integer, np.floating)):
                 return jax.device_put(np.asarray(node), sh)
             return None  # strings / lists of strings: host-only

@@ -54,3 +54,31 @@ def test_dataset_fast_batch_equals_itemwise():
     np.testing.assert_allclose(
         batch["model_inputs"]["x"][0], ds[0]["model_inputs"]["x"], atol=1e-6
     )
+
+
+def test_loader_process_sharding_partitions_global_batch():
+    """Multi-host loader contract: identical shuffled order on every process,
+    each loading a disjoint contiguous slice whose union is the global batch."""
+    from diffulab_tpu.data.loader import DataLoader
+
+    class Idx:
+        def __len__(self):
+            return 64
+        def get_batch(self, idx):
+            import numpy as np
+            return {"model_inputs": {"x": np.asarray(idx, np.int64)}}
+
+    pc = 4
+    loaders = [
+        DataLoader(Idx(), batch_size=16, shuffle=True, seed=7, prefetch=0,
+                   process_index=pi, process_count=pc)
+        for pi in range(pc)
+    ]
+    ref = DataLoader(Idx(), batch_size=16, shuffle=True, seed=7, prefetch=0,
+                     process_index=0, process_count=1)
+    for global_batch, locals_ in zip(iter(ref), zip(*[iter(ld) for ld in loaders])):
+        g = global_batch["model_inputs"]["x"]
+        parts = [lb["model_inputs"]["x"] for lb in locals_]
+        assert all(len(p) == 4 for p in parts)
+        import numpy as np
+        np.testing.assert_array_equal(np.concatenate(parts), g)
