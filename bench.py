@@ -102,6 +102,12 @@ def main():
     model, diffuser = build()
     train_sps, train_dt = bench_train(model, diffuser)
     sample_ips, sample_dt = bench_sample(model, diffuser)
+    # few-step sampling: DPM-Solver++(2M) at 15 steps (docs/samplers.md)
+    fast_diffuser = Diffuser(
+        model, sampling_method="dpmpp_2m", model_type="rectified_flow",
+        n_steps=15, extra_args={"logits_normal": True},
+    )
+    fast_ips, fast_dt = bench_sample(model, fast_diffuser)
     reference_cpu_sps = 0.430  # measured: reference DiT-B/2 train step, torch CPU (see module docstring)
     print(json.dumps({
         "metric": "dit_b2_train_samples_per_sec_per_chip",
@@ -114,6 +120,8 @@ def main():
             "train_batch": BATCH,
             "euler50_imgs_per_sec": round(sample_ips, 2),
             "euler50_batch_time_ms": round(sample_dt * 1e3, 2),
+            "dpmpp15_imgs_per_sec": round(fast_ips, 2),
+            "dpmpp15_batch_time_ms": round(fast_dt * 1e3, 2),
             "sample_batch": SAMPLE_BATCH,
             "device": str(jax.devices()[0]),
             "model": "DiT-B/2 class-cond, 32x32x4 latents, bf16, CFG-fused sampling",

@@ -89,10 +89,14 @@ def main() -> None:
     diffuser = Diffuser(
         denoiser=denoiser,
         model_type=cfg["diffuser"]["model_type"],
-        n_steps=args.steps or cfg["diffuser"]["n_steps"],
+        n_steps=cfg["diffuser"]["n_steps"],
         sampling_method=cfg["diffuser"]["sampling_method"],
         extra_args=cfg["diffuser"].get("extra_args", {}),
     )
+    if args.steps:
+        # respace instead of rebuilding: gaussian models keep their training
+        # beta tables (constructing with tiny n_steps would redefine them)
+        diffuser.set_steps(args.steps)
     # mirror the trainer's split exactly (training/trainer.py:338-347): the
     # checkpoints store a _TrainModules(denoiser, extra_losses) param tree
     modules = _TrainModules(diffuser.denoiser, diffuser.extra_losses)
