@@ -4,4 +4,4 @@ from diffulab_tpu.data.loader import DataLoader
 from diffulab_tpu.data.mnist import MNISTDataset
 from diffulab_tpu.data.synthetic import SyntheticShapesDataset
 
-__all__ = ["BaseDataset", "BatchData", "CIFAR10Dataset", "DataLoader", "MNISTDataset"]
+__all__ = ["BaseDataset", "BatchData", "CIFAR10Dataset", "DataLoader", "MNISTDataset", "SyntheticShapesDataset"]

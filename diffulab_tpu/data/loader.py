@@ -82,21 +82,27 @@ class DataLoader:
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
-    def _local_slice(self, batch: Sequence[int]) -> Sequence[int]:
+    def _local_slice(self, batch: Sequence[int]) -> Sequence[int] | None:
+        """This process's rows of a global batch. A trailing partial batch
+        (drop_last=False, or an odd-sized sampler batch) is trimmed to the
+        largest process-divisible length — every process must see the same
+        number of equally-shaped batches or the SPMD step deadlocks; a batch
+        smaller than the process count is dropped (None)."""
         pc = self.process_count
         if pc == 1:
             return batch
         local = len(batch) // pc
-        assert local * pc == len(batch), (
-            f"global batch {len(batch)} not divisible by process count {pc}"
-        )
+        if local == 0:
+            return None
         pi = self.process_index
         return batch[pi * local : (pi + 1) * local]
 
     def _batch_indices(self) -> Iterator[Sequence[int]]:
         if self.sampler is not None:
             for batch in self.sampler:
-                yield self._local_slice(batch)
+                local = self._local_slice(batch)
+                if local is not None:
+                    yield local
             return
         n = len(self.dataset)
         order = np.arange(n)
@@ -105,7 +111,9 @@ class DataLoader:
             rng.shuffle(order)
         end = n - n % self.batch_size if self.drop_last else n
         for start in range(0, end, self.batch_size):
-            yield self._local_slice(order[start : start + self.batch_size])
+            local = self._local_slice(order[start : start + self.batch_size])
+            if local is not None:
+                yield local
 
     def _make_batch(self, idx: Sequence[int]) -> Any:
         # datasets exposing get_batch (native fused gather+normalize) skip the

@@ -270,7 +270,9 @@ class DPMSolverPPGaussian(DDPM):
     def init_state(self, x: jax.Array) -> dict[str, jax.Array]:
         return {
             "x0_prev": jnp.zeros_like(x),
-            "h_last": jnp.zeros((), jnp.float32),
+            # per-sample: one_step_denoise is public API and may carry
+            # heterogeneous per-sample timesteps like DDPM/DDIM
+            "h_last": jnp.zeros((x.shape[0],) + (1,) * (x.ndim - 1), jnp.float32),
             "has_prev": jnp.zeros((), bool),
         }
 
@@ -289,10 +291,9 @@ class DPMSolverPPGaussian(DDPM):
         assert state is not None, "multistep sampler: denoise must thread init_state"
         _, _, _, x0 = self._get_p_mean_var(model_prediction, xt, timesteps, clamp_x)
 
-        # schedule scalars (timesteps are jnp.full in denoise -> take [0])
-        i = timesteps[0]
-        ab = jnp.asarray(self.alphas_bar, jnp.float32)[i]
-        abp = jnp.asarray(self.alphas_bar_prev, jnp.float32)[i]
+        # per-sample schedule scalars, broadcast-shaped [B, 1, ...]
+        ab = extract_into_tensor(self.alphas_bar, timesteps, xt.ndim).astype(jnp.float32)
+        abp = extract_into_tensor(self.alphas_bar_prev, timesteps, xt.ndim).astype(jnp.float32)
         eps_ = 1e-12
         alpha_t, sigma_t = jnp.sqrt(ab), jnp.sqrt(1.0 - ab)
         alpha_p, sigma_p = jnp.sqrt(abp), jnp.sqrt(jnp.maximum(1.0 - abp, 0.0))

@@ -431,6 +431,10 @@ class MMDiT(Denoiser):
         self.attention_impl = attention_impl
         # GPipe-over-ppermute staging of the homogeneous DiT block stack over
         # the mesh's 'pipe' axis (parallel/pipeline.py); None = sequential.
+        assert pipeline_microbatches is None or simple_dit, (
+            "pipeline_microbatches requires simple_dit=True (the dual/"
+            "single-stream MMDiT stack is heterogeneous and runs sequentially)"
+        )
         self.pipeline_microbatches = pipeline_microbatches
         self.mesh = None  # static; injected by set_parallel_mesh
 
@@ -592,7 +596,12 @@ class MMDiT(Denoiser):
 
         features: list[jax.Array] = []
         pipe_n = self.mesh.shape.get("pipe", 1) if self.mesh is not None else 1
-        if self.pipeline_microbatches and pipe_n > 1 and not capture_features:
+        if (
+            self.pipeline_microbatches
+            and pipe_n > 1
+            and not capture_features
+            and not self.use_checkpoint  # remat composes with the sequential path only
+        ):
             x = self._pipelined_blocks(x, emb, cos_sin, pipe_n)
         else:
             for i, layer in enumerate(self.layers):
@@ -635,11 +644,14 @@ class MMDiT(Denoiser):
         out = pipeline_apply(
             stage,
             stacked,
-            {"x": x, "y": emb, "cos": cos, "sin": sin},
+            {"x": x},
             mesh=self.mesh,
             axis="pipe",
             n_microbatches=self.pipeline_microbatches,
             batch_axes=batch_axes,
+            # conditioning + RoPE tables are read-only per microbatch: they
+            # ride the resident stream, not the ppermute ring
+            stream={"y": emb, "cos": cos, "sin": sin},
         )
         return out["x"]
 

@@ -298,11 +298,22 @@ class SD3TextEmbedder(HFTextEmbedder):
             "clip_g": CLIPTextModelWithProjection.from_pretrained(self.clip_g_path).eval(),
             "tok_g": AutoTokenizer.from_pretrained(self.clip_g_path),
             "t5": T5EncoderModel.from_pretrained(self.t5_path).eval(),
-            # AutoTokenizer: loads T5TokenizerFast from a real t5 checkpoint
-            # (same output as the slow sentencepiece class with legacy=False)
-            # and generic fast tokenizers from local test checkpoints
-            "tok_t5": AutoTokenizer.from_pretrained(self.t5_path, legacy=False),
+            "tok_t5": self._load_t5_tokenizer(),
         }
+
+    def _load_t5_tokenizer(self):
+        # prefer the slow sentencepiece class: it honors legacy=False exactly
+        # (reference sd3.py uses it); AutoTokenizer may load a prebuilt
+        # tokenizer.json whose serialization predates the legacy fix and
+        # silently swallow the kwarg. Fall back to AutoTokenizer when
+        # sentencepiece is unavailable (also serves local test checkpoints
+        # that ship a generic fast tokenizer).
+        from transformers import AutoTokenizer, T5Tokenizer  # noqa: PLC0415
+
+        try:
+            return T5Tokenizer.from_pretrained(self.t5_path, legacy=False)
+        except (ImportError, ValueError, OSError):
+            return AutoTokenizer.from_pretrained(self.t5_path, legacy=False)
 
     def _default_encode(self, texts: Sequence[str]) -> dict[str, np.ndarray]:
         self._load()

@@ -53,8 +53,18 @@ def pipeline_apply(
     axis: str = "pipe",
     n_microbatches: int,
     batch_axes: tuple[str, ...] = (),
+    stream: Any = None,
 ) -> Any:
     """Run ``inputs`` through all L layers, pipelined over ``mesh[axis]``.
+
+    ``inputs`` are the CIRCULATING activations (transformed by every stage,
+    ppermuted around the ring). ``stream`` holds per-microbatch operands the
+    stages read but never transform (conditioning vectors, RoPE tables):
+    they stay resident on every pipe device and each stage dynamic-indexes
+    the microbatch it is currently processing — circulating them would
+    multiply ICI traffic per tick for no reason. ``stage_fn`` receives one
+    merged dict ``{**inputs_slice, **stream_slice}`` and only the ``inputs``
+    keys of its result re-enter the ring.
 
     Returns a pytree shaped like ``inputs`` holding the final stage's
     activations (broadcast back to every pipe device so downstream
@@ -79,19 +89,33 @@ def pipeline_apply(
     m = n_microbatches
 
     param_specs = jax.tree.map(lambda _: P(axis), stacked_params)
-    in_specs = jax.tree.map(lambda _: P(batch_axes if batch_axes else None), inputs)
+    batch_spec = P(batch_axes if batch_axes else None)
+    in_specs = jax.tree.map(lambda _: batch_spec, inputs)
+    stream = {} if stream is None else dict(stream)
+    stream_specs = jax.tree.map(lambda _: batch_spec, stream)
 
-    def _pipelined(local_params: Any, xs: Any) -> Any:
+    def _pipelined(local_params: Any, xs: Any, stream_xs: Any) -> Any:
         s_idx = lax.axis_index(axis)
         local_batch = jax.tree.leaves(xs)[0].shape[0]
         # [B, ...] -> [M, B/M, ...]
-        xm = jax.tree.map(lambda a: a.reshape(m, a.shape[0] // m, *a.shape[1:]), xs)
+        to_mb = lambda a: a.reshape(m, a.shape[0] // m, *a.shape[1:])  # noqa: E731
+        xm = jax.tree.map(to_mb, xs)
+        stream_m = jax.tree.map(to_mb, stream_xs)
         state0 = _pcast_varying(jax.tree.map(lambda a: jnp.zeros_like(a[0]), xm), axis)
         outs0 = _pcast_varying(jax.tree.map(jnp.zeros_like, xm), axis)
 
-        def run_stage(state: Any) -> Any:
+        def run_stage(state: Any, t: jax.Array) -> Any:
+            # the microbatch at stage s during tick t is t - s (clamped in
+            # the fill/drain phases, where results are never recorded)
+            mb_idx = jnp.clip(t - s_idx, 0, m - 1)
+            stream_t = jax.tree.map(
+                lambda a: lax.dynamic_index_in_dim(a, mb_idx, 0, keepdims=False),
+                stream_m,
+            )
+
             def body(st: Any, layer_params: Any):
-                return stage_fn(layer_params, st), None
+                out = stage_fn(layer_params, {**st, **stream_t})
+                return {k: out[k] for k in st}, None
 
             st, _ = lax.scan(body, state, local_params)
             return st
@@ -108,7 +132,7 @@ def pipeline_apply(
             state = jax.tree.map(
                 lambda inj, st: jnp.where(s_idx == 0, inj, st), mb, state
             )
-            state = run_stage(state)
+            state = run_stage(state, t)
             # last stage records microbatch t-(S-1) once the fill completes
             record = jnp.logical_and(s_idx == n_stages - 1, t >= n_stages - 1)
             o_idx = jnp.clip(t - (n_stages - 1), 0, m - 1)
@@ -137,10 +161,10 @@ def pipeline_apply(
     return jax.shard_map(
         _pipelined,
         mesh=mesh,
-        in_specs=(param_specs, in_specs),
-        out_specs=jax.tree.map(lambda _: P(batch_axes if batch_axes else None), inputs),
+        in_specs=(param_specs, in_specs, stream_specs),
+        out_specs=jax.tree.map(lambda _: batch_spec, inputs),
         check_vma=True,
-    )(stacked_params, inputs)
+    )(stacked_params, inputs, stream)
 
 
 def stack_block_states(make_block: Callable[..., Any], depth: int, seed: int = 0):
