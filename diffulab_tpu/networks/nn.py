@@ -43,6 +43,19 @@ def timestep_embedding(timesteps: jax.Array, dim: int, max_period: int = 10_000)
     return embedding
 
 
+def nearest_upsample_2x(x: jax.Array) -> jax.Array:
+    """2x nearest-neighbor upsample, NHWC, as broadcast + reshape.
+
+    Identical output to ``jax.image.resize(..., method="nearest")`` at an
+    exact 2x factor (pure pixel duplication), but lowers to a copy-free
+    broadcast instead of the gather resize emits — on TPU the gather form
+    serializes on the scalar core and dominated the UNet step (measured:
+    the 155M ADM UNet trained at 2.2 s/step with resize)."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, 2 * h, 2 * w, c)
+
+
 def modulate(x: jax.Array, scale: jax.Array, shift: jax.Array) -> jax.Array:
     """adaLN modulation ``x * (1 + scale) + shift`` (reference nn.py:539-540)."""
     return x * (1 + scale) + shift
@@ -272,8 +285,7 @@ class Upsample(nnx.Module):
 
     def __call__(self, x: jax.Array) -> jax.Array:
         assert x.shape[-1] == self.channels
-        b, h, w, c = x.shape
-        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        x = nearest_upsample_2x(x)
         if self.use_conv:
             x = self.conv(x)
         return x

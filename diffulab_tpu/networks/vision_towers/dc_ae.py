@@ -36,6 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import nnx
 
+from diffulab_tpu.networks.nn import nearest_upsample_2x
 from diffulab_tpu.networks.vision_towers.common import VisionTower, normalize_to_pm1
 
 _F32C32_CHANNELS = (128, 256, 512, 512, 1024, 1024)
@@ -227,9 +228,7 @@ class DCUpBlock(nnx.Module):
 
     def __call__(self, x: jax.Array) -> jax.Array:
         if self.mode == "interpolate":
-            b, h, w, c = x.shape
-            up = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
-            return self.conv(up)
+            return self.conv(nearest_upsample_2x(x))
         h = _depth_to_space(self.conv(x))
         rep = (4 * self.cout) // self.cin
         shortcut = _depth_to_space(jnp.repeat(x, rep, axis=-1))

@@ -17,6 +17,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import nnx
 
+from diffulab_tpu.networks.nn import nearest_upsample_2x
+
 
 class VAEResnetBlock(nnx.Module):
     def __init__(self, cin: int, cout: int, *, rngs: nnx.Rngs, dtype=None, param_dtype=jnp.float32):
@@ -149,8 +151,7 @@ class VAEDecoder(nnx.Module):
             for block in blocks:
                 h = block(h)
             if up is not None:
-                b, hh, ww, c = h.shape
-                h = jax.image.resize(h, (b, hh * 2, ww * 2, c), method="nearest")
+                h = nearest_upsample_2x(h)
                 h = up(h)
         return self.conv_out(jax.nn.silu(self.norm_out(h)))
 

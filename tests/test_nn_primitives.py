@@ -223,3 +223,12 @@ def test_rope_planar_preserves_norm():
         np.linalg.norm(np.asarray(qr), axis=-1),
         np.linalg.norm(np.asarray(q), axis=-1), rtol=1e-5,
     )
+
+
+def test_nearest_upsample_2x_matches_resize():
+    import jax
+    from diffulab_tpu.networks.nn import nearest_upsample_2x
+
+    x = jax.random.normal(jax.random.key(0), (2, 5, 7, 3))
+    ref = jax.image.resize(x, (2, 10, 14, 3), method="nearest")
+    np.testing.assert_array_equal(np.asarray(nearest_upsample_2x(x)), np.asarray(ref))
