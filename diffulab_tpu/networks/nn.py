@@ -47,10 +47,10 @@ def nearest_upsample_2x(x: jax.Array) -> jax.Array:
     """2x nearest-neighbor upsample, NHWC, as broadcast + reshape.
 
     Identical output to ``jax.image.resize(..., method="nearest")`` at an
-    exact 2x factor (pure pixel duplication), but lowers to a copy-free
-    broadcast instead of the gather resize emits — on TPU the gather form
-    serializes on the scalar core and dominated the UNet step (measured:
-    the 155M ADM UNet trained at 2.2 s/step with resize)."""
+    exact 2x factor (pure pixel duplication), lowering to a copy-free
+    broadcast instead of resize's general gather. Measured equal on the
+    155M ADM UNet step (XLA already specializes the 2x gather; BASELINE.md)
+    — kept for the guaranteed-cheap lowering and explicitness."""
     b, h, w, c = x.shape
     x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
     return x.reshape(b, 2 * h, 2 * w, c)
