@@ -60,10 +60,20 @@ class GaussianDiffusion:
     # Respacing config: number of sampling steps (defaults to n_steps = no respacing)
     sampling_steps: int | None = None
     section_counts: int | str | None = None
+    # Training-loss parametrization (reference README roadmap item "add the
+    # different possible parametrization for the loss (eps, x0, v ...)"):
+    # what the model's first C output channels predict. Sampling converts
+    # every head back to epsilon, so all samplers/mean types work unchanged.
+    #   "epsilon": noise (DDPM default)
+    #   "xstart":  the clean sample x0
+    #   "v":       alpha*eps - sigma*x0 (Salimans & Ho progressive-distillation)
+    prediction_type: str = "epsilon"
 
     def __post_init__(self):
         if self.sampling_method not in SAMPLER_REGISTRY:
             raise ValueError(f"sampling method must be one of {list(SAMPLER_REGISTRY)}")
+        if self.prediction_type not in ("epsilon", "xstart", "v"):
+            raise ValueError("prediction_type must be 'epsilon', 'xstart', or 'v'")
 
     @property
     def training_steps(self) -> int:
@@ -169,14 +179,17 @@ class GaussianDiffusion:
 
         learned_var = self.sampler.var_type in ("learned", "learned_range")
         if learned_var:
-            eps_pred, _ = jnp.split(out, 2, axis=-1)
+            head, _ = jnp.split(out, 2, axis=-1)
         else:
-            eps_pred = out
-        loss = jnp.mean((eps_pred - noise) ** 2)
+            head = out
+        target = self._training_target(x0, noise, timesteps, xt)
+        loss = jnp.mean((head - target) ** 2)
         loss_dict = {"loss": loss}
 
         if learned_var:
-            # freeze the mean for the VLB term (Improved DDPM eq. 16)
+            # freeze the mean for the VLB term (Improved DDPM eq. 16); the
+            # posterior machinery expects an epsilon head
+            eps_pred = self._head_to_eps(head, xt, timesteps)
             frozen = jnp.concatenate(
                 [jax.lax.stop_gradient(eps_pred), out[..., eps_pred.shape[-1]:]], axis=-1
             )
@@ -193,6 +206,42 @@ class GaussianDiffusion:
         for extra_loss in extra_losses:
             loss_dict[extra_loss.name] = extra_loss(model_output=prediction, **(extra_args or {}))
         return loss_dict
+
+    # --- prediction-parametrization conversions -------------------------------
+    def _alpha_sigma(self, timesteps: jax.Array, ndim: int):
+        ab = extract_into_tensor(self.alphas_bar, timesteps, ndim)
+        return jnp.sqrt(ab), jnp.sqrt(1.0 - ab)
+
+    def _training_target(self, x0, noise, timesteps, xt):
+        if self.prediction_type == "epsilon":
+            return noise
+        if self.prediction_type == "xstart":
+            return x0.astype(jnp.float32)
+        alpha, sigma = self._alpha_sigma(timesteps, xt.ndim)
+        return alpha * noise.astype(jnp.float32) - sigma * x0.astype(jnp.float32)
+
+    def _head_to_eps(self, head, xt, timesteps):
+        """Convert the model's first-C-channels head to epsilon (affine in the
+        head for fixed (xt, t), so it commutes with CFG combination)."""
+        if self.prediction_type == "epsilon":
+            return head
+        alpha, sigma = self._alpha_sigma(timesteps, xt.ndim)
+        alpha = alpha.astype(head.dtype)
+        sigma = sigma.astype(head.dtype)
+        xt = xt.astype(head.dtype)
+        if self.prediction_type == "xstart":
+            return (xt - alpha * head) / jnp.maximum(sigma, 1e-12)
+        # v-parametrization: x0 = alpha*xt - sigma*v ; eps = sigma*xt + alpha*v
+        return sigma * xt + alpha * head
+
+    def _prediction_to_eps(self, prediction, xt, timesteps):
+        """Full model output -> epsilon form (variance channels untouched)."""
+        if self.prediction_type == "epsilon":
+            return prediction
+        if self.sampler.var_type in ("learned", "learned_range"):
+            head, var = jnp.split(prediction, 2, axis=-1)
+            return jnp.concatenate([self._head_to_eps(head, xt, timesteps), var], axis=-1)
+        return self._head_to_eps(prediction, xt, timesteps)
 
     # --- one reverse step ---------------------------------------------------------
     def one_step_denoise(
@@ -223,6 +272,9 @@ class GaussianDiffusion:
             drop = jnp.zeros((batch,), dtype=bool)
             prediction = model_fn(x=x, timesteps=model_timesteps, cond=cond, drop=drop)["x"]
 
+        # samplers consume epsilon (their default mean_type); convert
+        # x0-/v-parametrized heads here so every sampler works unchanged
+        prediction = self._prediction_to_eps(prediction, x, timesteps)
         return self.sampler.step(
             model_prediction=prediction,
             timesteps=timesteps,

@@ -251,3 +251,78 @@ def test_dpmpp_gaussian_jits_with_respacing_and_intermediates():
     assert out["x"].shape == (2, 4, 4, 1)
     assert out["xt"].shape == (2, 9, 4, 4, 1)
     assert np.isfinite(np.asarray(out["x"])).all()
+
+
+def test_prediction_parametrizations_equivalent():
+    """x0- and v-parametrized heads sample identically to the epsilon head
+    when each predicts its exact target (reference roadmap: 'add the
+    different possible parametrization for the loss (eps, x0, v)')."""
+    rng = jax.random.key(0)
+    x0 = jax.random.normal(rng, (2, 4, 4, 1))
+    eps = jax.random.normal(jax.random.key(1), (2, 4, 4, 1))
+    ab = jnp.asarray(np.cumprod(1 - GaussianDiffusion(n_steps=50).betas), jnp.float32)
+
+    def a_s(timesteps, ndim):
+        a = ab[timesteps].reshape(-1, *([1] * (ndim - 1)))
+        return jnp.sqrt(a), jnp.sqrt(1 - a)
+
+    def eps_model(x, timesteps, cond, drop):
+        a, s = a_s(timesteps, x.ndim)
+        return {"x": (x - a * x0) / s}
+
+    def x0_model(x, timesteps, cond, drop):
+        return {"x": jnp.broadcast_to(x0, x.shape)}
+
+    def v_model(x, timesteps, cond, drop):
+        a, s = a_s(timesteps, x.ndim)
+        true_eps = (x - a * x0) / s
+        return {"x": a * true_eps - s * x0}
+
+    xT = jnp.sqrt(ab[-1]) * x0 + jnp.sqrt(1 - ab[-1]) * eps
+    outs = {}
+    for ptype, model in (("epsilon", eps_model), ("xstart", x0_model), ("v", v_model)):
+        gd = GaussianDiffusion(n_steps=50, sampling_method="ddim", prediction_type=ptype)
+        outs[ptype] = np.asarray(gd.denoise(model, cond={}, rng=jax.random.key(2), x=xT)["x"])
+        np.testing.assert_allclose(outs[ptype], np.asarray(x0), atol=2e-3)
+    np.testing.assert_allclose(outs["xstart"], outs["epsilon"], atol=1e-4)
+    np.testing.assert_allclose(outs["v"], outs["epsilon"], atol=1e-4)
+
+
+def test_prediction_parametrization_losses_zero_for_perfect_model():
+    rng = jax.random.key(3)
+    x0 = jax.random.normal(rng, (4, 4, 4, 2))
+    noise = jax.random.normal(jax.random.key(4), (4, 4, 4, 2))
+    t = jnp.array([1, 10, 25, 49])
+    ab = jnp.asarray(np.cumprod(1 - GaussianDiffusion(n_steps=50).betas), jnp.float32)
+    a = jnp.sqrt(ab[t]).reshape(-1, 1, 1, 1)
+    s = jnp.sqrt(1 - ab[t]).reshape(-1, 1, 1, 1)
+    targets = {
+        "epsilon": noise,
+        "xstart": x0,
+        "v": a * noise - s * x0,
+    }
+    for ptype, target in targets.items():
+        gd = GaussianDiffusion(n_steps=50, prediction_type=ptype)
+        losses = gd.compute_loss(
+            lambda x, timesteps, cond, drop: {"x": jnp.broadcast_to(target, x.shape)},
+            x0, {}, t, noise,
+        )
+        assert float(losses["loss"]) < 1e-10, (ptype, float(losses["loss"]))
+
+
+def test_v_parametrization_with_learned_variance():
+    """v head + learned_range variance: loss/vlb finite, grads flow, and the
+    variance channels are excluded from the MSE."""
+    gd = GaussianDiffusion(n_steps=50, prediction_type="v",
+                           sampler_parameters={"var_type": "learned_range"})
+    rng = jax.random.key(5)
+    x0 = jax.random.normal(rng, (2, 4, 4, 2))
+    noise = jax.random.normal(jax.random.key(6), (2, 4, 4, 2))
+    t = jnp.array([3, 30])
+
+    def model_fn(x, timesteps, cond, drop):
+        return {"x": jnp.concatenate([jnp.zeros_like(x), jnp.zeros_like(x)], axis=-1)}
+
+    losses = gd.compute_loss(model_fn, x0, {}, t, noise)
+    assert set(losses) == {"loss", "vlb"}
+    assert np.isfinite(float(losses["loss"])) and np.isfinite(float(losses["vlb"]))
