@@ -140,11 +140,18 @@ class BaseTrainer(Trainer):
             modules = nnx.merge(graphdef, params, rng_state, rest)
             model_inputs = dict(batch["model_inputs"])
             x0 = jnp.asarray(model_inputs.pop("x"))
+            # coupled noise (ReFlow pairs datasets ship the z their x was
+            # generated from); independent Gaussian otherwise
+            coupled_noise = model_inputs.pop("noise", None)
             cond = model_inputs
             bsz = x0.shape[0]
             t_rng, n_rng, d_rng, m_rng = jax.random.split(rng, 4)
             timesteps = diffusion.draw_timesteps(t_rng, bsz)
-            noise = jax.random.normal(n_rng, x0.shape, dtype=x0.dtype)
+            noise = (
+                jnp.asarray(coupled_noise, x0.dtype)
+                if coupled_noise is not None
+                else jax.random.normal(n_rng, x0.shape, dtype=x0.dtype)
+            )
             drop = None
             if p_cfg > 0:
                 drop = make_drop_mask(d_rng, p_cfg, bsz)
@@ -179,10 +186,15 @@ class BaseTrainer(Trainer):
             modules = nnx.merge(graphdef, params, rng_state, rest)
             model_inputs = dict(batch["model_inputs"])
             x0 = jnp.asarray(model_inputs.pop("x"))
+            coupled_noise = model_inputs.pop("noise", None)
             cond = model_inputs
             t_rng, n_rng = jax.random.split(rng)
             timesteps = diffusion.draw_timesteps(t_rng, x0.shape[0])
-            noise = jax.random.normal(n_rng, x0.shape, dtype=x0.dtype)
+            noise = (
+                jnp.asarray(coupled_noise, x0.dtype)
+                if coupled_noise is not None
+                else jax.random.normal(n_rng, x0.shape, dtype=x0.dtype)
+            )
 
             def model_fn(**kw):
                 return modules.denoiser(**kw, train=False, capture_features=capture)
