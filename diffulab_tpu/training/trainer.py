@@ -311,6 +311,7 @@ class BaseTrainer(Trainer):
         epoch_start: int = 0,
         seed: int = 0,
         steps_per_epoch: int | None = None,
+        lora_only: bool = False,
     ) -> None:
         if val_step_shift is not None:
             assert diffuser.model_type == "rectified_flow", (
@@ -356,7 +357,11 @@ class BaseTrainer(Trainer):
 
         # --- split modules into trainable params / the rest ---------------
         modules = _TrainModules(diffuser.denoiser, diffuser.extra_losses)
-        if train_embedder or getattr(diffuser.denoiser, "context_embedder", None) is None:
+        if lora_only:
+            # adapter-only finetuning (training/lora.py): base weights ride
+            # frozen in `rest`; optimizer/EMA state covers adapters only
+            trainable = nnx.LoRAParam
+        elif train_embedder or getattr(diffuser.denoiser, "context_embedder", None) is None:
             trainable = nnx.Param
         else:
             trainable = nnx.All(nnx.Param, nnx.Not(nnx.PathContains("context_embedder")))

@@ -62,6 +62,31 @@ def main() -> None:
     )
 
     denoiser = instantiate(cfg["model"], rngs=nnx.Rngs(args.seed))
+
+    # LoRA finetuning (trainer.lora_rank + optional trainer.lora_from base
+    # checkpoint): restore the base BEFORE wrapping (the wrapped param tree
+    # differs), then train adapters only
+    lora_rank = cfg["trainer"].get("lora_rank")
+    if lora_rank:
+        from diffulab_tpu.training.lora import apply_lora, count_lora_params
+        from diffulab_tpu.training.checkpoint import restore_checkpoint
+        from diffulab_tpu.training.trainer import _TrainModules
+
+        base_ckpt = cfg["trainer"].get("lora_from")
+        if base_ckpt:
+            modules = _TrainModules(denoiser, [])
+            _, params, _, rest = nnx.split(modules, nnx.Param, nnx.RngState, ...)
+            if Path(base_ckpt).name == "ema":
+                params = restore_checkpoint(base_ckpt, {"params": params})["params"]
+                nnx.update(modules, params)
+            else:
+                restored = restore_checkpoint(base_ckpt, {"params": params, "rest": rest})
+                nnx.update(modules, restored["params"], restored["rest"])
+            print(f"restored LoRA base weights from {base_ckpt}")
+        n_adapters = apply_lora(denoiser, int(lora_rank), rngs=nnx.Rngs(args.seed + 1))
+        print(f"LoRA: wrapped {n_adapters} projections at rank {lora_rank} "
+              f"({count_lora_params(denoiser):,} adapter params)")
+
     print(f"Number of trainable parameters: {count_parameters(denoiser):,}")
 
     diffuser = Diffuser(
@@ -112,6 +137,7 @@ def main() -> None:
         ema_ckpt=trainer_cfg.get("ema_ckpt"),
         epoch_start=trainer_cfg.get("epoch_start", 0),
         seed=args.seed,
+        lora_only=bool(trainer_cfg.get("lora_rank")),
     )
 
 
