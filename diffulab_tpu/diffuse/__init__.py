@@ -1,4 +1,5 @@
 from diffulab_tpu.diffuse.diffuser import Diffuser
+from diffulab_tpu.diffuse.edm import EDM
 from diffulab_tpu.diffuse.flow import Flow
 from diffulab_tpu.diffuse.gaussian_diffusion import GaussianDiffusion
 from diffulab_tpu.diffuse.schedules import (
@@ -11,6 +12,7 @@ from diffulab_tpu.diffuse.schedules import (
 
 __all__ = [
     "Diffuser",
+    "EDM",
     "Flow",
     "GaussianDiffusion",
     "betas_for_alpha_bar",

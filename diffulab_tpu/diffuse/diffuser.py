@@ -14,6 +14,7 @@ from typing import Any, Callable
 import jax
 import jax.numpy as jnp
 
+from diffulab_tpu.diffuse.edm import EDM
 from diffulab_tpu.diffuse.flow import Flow
 from diffulab_tpu.diffuse.gaussian_diffusion import GaussianDiffusion
 
@@ -30,6 +31,7 @@ class Diffuser:
     model_registry: dict[str, type] = {
         "rectified_flow": Flow,
         "gaussian_diffusion": GaussianDiffusion,
+        "edm": EDM,
     }
 
     def __init__(

@@ -1,0 +1,224 @@
+"""EDM formalization (Karras et al. 2022, arXiv:2206.00364) — the reference
+README's unimplemented roadmap item "add EDM".
+
+The denoiser is preconditioned around a raw network F:
+
+    D(x; sigma) = c_skip x + c_out * F(c_in x, c_noise)
+    c_skip = sd^2/(sigma^2+sd^2)        c_out  = sigma*sd/sqrt(sigma^2+sd^2)
+    c_in   = 1/sqrt(sigma^2+sd^2)       c_noise = ln(sigma)/4
+
+so any of this framework's denoisers (continuous-timestep conditioning)
+drops in as F unchanged. Training draws log-normal sigmas and minimizes the
+lambda(sigma)-weighted D-vs-x0 MSE; sampling integrates the probability-flow
+ODE ``dx/dsigma = (x - D)/sigma`` down the Karras rho-schedule with Heun's
+2nd-order method (optionally stochastic via S_churn noise injection) or
+plain Euler. Same scan-fused, CFG-batched structure as the other two
+formalizations; `timesteps` throughout are CONTINUOUS sigma values.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ModelFn = Callable[..., dict[str, jax.Array]]
+
+
+@dataclasses.dataclass(frozen=True)
+class EDM:
+    """Karras-EDM: preconditioning, log-normal sigma draws, rho-schedule."""
+
+    n_steps: int = 18
+    sampling_method: str = "heun"
+    latent_diffusion: bool = False
+    sigma_data: float = 0.5
+    sigma_min: float = 0.002
+    sigma_max: float = 80.0
+    rho: float = 7.0
+    p_mean: float = -1.2
+    p_std: float = 1.2
+    # stochastic sampling (S_churn > 0 re-noises each step; 0 = deterministic)
+    s_churn: float = 0.0
+    s_noise: float = 1.0
+
+    def __post_init__(self):
+        if self.sampling_method not in ("heun", "euler"):
+            raise ValueError("EDM sampling_method must be 'heun' or 'euler'")
+
+    # --- schedule ---------------------------------------------------------
+    @property
+    def timesteps(self) -> np.ndarray:
+        """Karras sigma grid [n_steps+1], descending, final entry exactly 0."""
+        i = np.arange(self.n_steps, dtype=np.float64)
+        inv_rho = 1.0 / self.rho
+        sig = (
+            self.sigma_max**inv_rho
+            + i / max(self.n_steps - 1, 1) * (self.sigma_min**inv_rho - self.sigma_max**inv_rho)
+        ) ** self.rho
+        return np.concatenate([sig, [0.0]]).astype(np.float32)
+
+    def set_steps(self, n_steps: int, **kwargs: Any) -> "EDM":
+        return dataclasses.replace(self, n_steps=n_steps, **kwargs)
+
+    # --- forward process --------------------------------------------------
+    def draw_timesteps(self, rng: jax.Array, batch_size: int) -> jax.Array:
+        """Log-normal sigma draw (EDM table 1 training column)."""
+        return jnp.exp(
+            self.p_mean + self.p_std * jax.random.normal(rng, (batch_size,))
+        )
+
+    def add_noise(
+        self, x: jax.Array, timesteps: jax.Array, noise: jax.Array
+    ) -> tuple[jax.Array, jax.Array]:
+        sigma = timesteps.reshape(-1, *([1] * (x.ndim - 1))).astype(x.dtype)
+        return x + sigma * noise, noise
+
+    # --- preconditioned model call ---------------------------------------
+    def _denoised(self, model_fn: ModelFn, x, sigma, cond, drop):
+        sd = self.sigma_data
+        s = sigma.reshape(-1, *([1] * (x.ndim - 1))).astype(jnp.float32)
+        xf = x.astype(jnp.float32)
+        c_skip = sd**2 / (s**2 + sd**2)
+        c_out = s * sd / jnp.sqrt(s**2 + sd**2)
+        c_in = 1.0 / jnp.sqrt(s**2 + sd**2)
+        c_noise = jnp.log(jnp.maximum(sigma, 1e-20)).astype(jnp.float32) / 4.0
+        f = model_fn(
+            x=(c_in * xf).astype(x.dtype), timesteps=c_noise, cond=cond, drop=drop
+        )["x"].astype(jnp.float32)
+        return c_skip * xf + c_out * f
+
+    def _denoised_cfg(self, model_fn, x, sigma, cond, guidance_scale, use_cfg):
+        if not use_cfg:
+            drop = jnp.zeros((x.shape[0],), bool)
+            return self._denoised(model_fn, x, sigma, cond, drop)
+        b = x.shape[0]
+        x2 = jnp.concatenate([x, x], axis=0)
+        s2 = jnp.concatenate([sigma, sigma], axis=0)
+        cond2 = jax.tree.map(lambda c: jnp.concatenate([c, c], axis=0), cond)
+        drop = jnp.concatenate([jnp.zeros((b,), bool), jnp.ones((b,), bool)])
+        d = self._denoised(model_fn, x2, s2, cond2, drop)
+        d_cond, d_uncond = jnp.split(d, 2, axis=0)
+        return d_uncond + guidance_scale * (d_cond - d_uncond)
+
+    # --- training loss ----------------------------------------------------
+    def compute_loss(
+        self,
+        model_fn: ModelFn,
+        x0: jax.Array,
+        cond: dict[str, Any],
+        timesteps: jax.Array,
+        noise: jax.Array,
+        drop: jax.Array | None = None,
+        extra_losses: Sequence[Any] = (),
+        extra_args: dict[str, Any] | None = None,
+    ) -> dict[str, jax.Array]:
+        xt, noise = self.add_noise(x0, timesteps, noise)
+        if drop is None:
+            drop = jnp.zeros((x0.shape[0],), bool)
+        denoised = self._denoised(model_fn, xt, timesteps, cond, drop)
+        sd = self.sigma_data
+        s = timesteps.reshape(-1, *([1] * (x0.ndim - 1))).astype(jnp.float32)
+        weight = (s**2 + sd**2) / (s * sd) ** 2
+        loss = jnp.mean(weight * (denoised - x0.astype(jnp.float32)) ** 2)
+        loss_dict = {"loss": loss}
+        for extra_loss in extra_losses:
+            loss_dict[extra_loss.name] = extra_loss(
+                model_output={"x": denoised}, **(extra_args or {})
+            )
+        return loss_dict
+
+    # --- sampling ---------------------------------------------------------
+    def one_step_denoise(
+        self,
+        model_fn: ModelFn,
+        x: jax.Array,
+        cond: dict[str, Any],
+        sigma_next: jax.Array,
+        sigma: jax.Array,
+        guidance_scale: float | jax.Array = 0.0,
+        use_cfg: bool = False,
+        rng: jax.Array | None = None,
+        sampler_args: dict[str, Any] | None = None,
+    ) -> dict[str, jax.Array]:
+        """One Karras step sigma -> sigma_next (Heun unless sampling_method
+        is 'euler' or sigma_next == 0, where the corrector is skipped)."""
+        del sampler_args
+        b = x.shape[0]
+        sig = jnp.full((b,), sigma, jnp.float32)
+
+        if self.s_churn > 0 and rng is not None:
+            gamma = jnp.minimum(self.s_churn / self.n_steps, float(np.sqrt(2.0) - 1.0))
+            sig_hat = sig * (1.0 + gamma)
+            extra = jnp.sqrt(jnp.maximum(sig_hat**2 - sig**2, 0.0))
+            eps = jax.random.normal(rng, x.shape, dtype=x.dtype) * self.s_noise
+            x = x + extra.reshape(-1, *([1] * (x.ndim - 1))).astype(x.dtype) * eps
+            sig = sig_hat
+
+        d0 = self._denoised_cfg(model_fn, x, sig, cond, guidance_scale, use_cfg)
+        sigv = sig.reshape(-1, *([1] * (x.ndim - 1)))
+        dxds = (x.astype(jnp.float32) - d0) / sigv
+        dt = sigma_next - sigv
+        x_euler = x.astype(jnp.float32) + dt * dxds
+
+        if self.sampling_method == "heun":
+            sig_next_b = jnp.full((b,), sigma_next, jnp.float32)
+            d1 = self._denoised_cfg(
+                model_fn, x_euler.astype(x.dtype), jnp.maximum(sig_next_b, self.sigma_min),
+                cond, guidance_scale, use_cfg,
+            )
+            dxds2 = (x_euler - d1) / jnp.maximum(sigma_next, self.sigma_min)
+            x_heun = x.astype(jnp.float32) + dt * 0.5 * (dxds + dxds2)
+            # final step to sigma = 0: Euler only (D at sigma=0 is undefined)
+            x_next = jnp.where(sigma_next > 0, x_heun, x_euler)
+        else:
+            x_next = x_euler
+
+        return {"x_prev": x_next.astype(x.dtype), "estimated_x0": d0.astype(x.dtype)}
+
+    def denoise(
+        self,
+        model_fn: ModelFn,
+        cond: dict[str, Any],
+        rng: jax.Array,
+        data_shape: tuple[int, ...] | None = None,
+        x: jax.Array | None = None,
+        clamp_x: bool = False,
+        guidance_scale: float | jax.Array = 0.0,
+        use_cfg: bool = False,
+        return_intermediates: bool = False,
+        dtype: jnp.dtype = jnp.float32,
+    ) -> dict[str, jax.Array]:
+        """Full Karras reverse ODE as one `lax.scan`. Initial noise is scaled
+        by sigma_max (EDM prior: x_T ~ N(0, sigma_max^2 I))."""
+        if x is None:
+            assert data_shape is not None, "'data_shape' must be provided if 'x' is not given"
+            rng, init_rng = jax.random.split(rng)
+            x = jax.random.normal(init_rng, data_shape, dtype=dtype) * self.sigma_max
+        ts = jnp.asarray(self.timesteps)
+        pairs = jnp.stack([ts[:-1], ts[1:]], axis=1)
+
+        def body(carry, pair):
+            x_t, step_rng = carry
+            step_rng, use_rng = jax.random.split(step_rng)
+            step = self.one_step_denoise(
+                model_fn, x_t, cond, pair[1], pair[0],
+                guidance_scale=guidance_scale, use_cfg=use_cfg,
+                rng=use_rng if self.s_churn > 0 else None,
+            )
+            ys = {k: step[k] for k in step} if return_intermediates else None
+            return (step["x_prev"].astype(x_t.dtype), step_rng), ys
+
+        (x_final, _), ys = jax.lax.scan(body, (x, rng), pairs)
+        if clamp_x:
+            x_final = jnp.clip(x_final, -1.0, 1.0)
+        out: dict[str, jax.Array] = {"x": x_final}
+        if return_intermediates and ys is not None:
+            out["xt"] = jnp.concatenate(
+                [x[:, None], jnp.moveaxis(ys["x_prev"], 0, 1)], axis=1
+            )
+            out["estimated_x0"] = jnp.moveaxis(ys["estimated_x0"], 0, 1)
+        return out
