@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import Iterable
 
+import jax
 import jax.numpy as jnp
 from flax import nnx
 
@@ -57,10 +58,13 @@ def apply_lora(
     *,
     rngs: nnx.Rngs,
     targets: Iterable[str] = DEFAULT_TARGETS,
+    variant: str = "lora",
 ) -> int:
     """Wrap matching ``nnx.Linear`` attributes in-place; returns the number
-    of adapters inserted. Idempotent targets only (already-wrapped layers
-    are skipped)."""
+    of adapters inserted. ``variant``: "lora" (additive nnx.LoRA) or "dora"
+    (weight-decomposed, :class:`DoRALinear`). Already-wrapped layers are
+    skipped."""
+    assert variant in ("lora", "dora"), variant
     targets = set(targets)
     n = 0
     stack = [module]
@@ -73,14 +77,17 @@ def apply_lora(
         for parent, key, child in _iter_children(mod):
             if (
                 isinstance(child, nnx.Linear)
-                and not isinstance(child, nnx.LoRA)
+                and not isinstance(child, (nnx.LoRA, DoRALinear))
                 and isinstance(key, str)
                 and key in targets
             ):
-                wrapper = nnx.LoRA(
-                    child.in_features, rank, child.out_features,
-                    base_module=child, param_dtype=child.param_dtype, rngs=rngs,
-                )
+                if variant == "dora":
+                    wrapper: nnx.Module = DoRALinear(child, rank, rngs=rngs)
+                else:
+                    wrapper = nnx.LoRA(
+                        child.in_features, rank, child.out_features,
+                        base_module=child, param_dtype=child.param_dtype, rngs=rngs,
+                    )
                 _set(parent, key, wrapper)
                 n += 1
             else:
@@ -108,13 +115,59 @@ def merge_lora(module: nnx.Module) -> int:
                 )
                 _set(parent, key, base)
                 n += 1
+            elif isinstance(child, DoRALinear):
+                base = child.base
+                base.kernel[...] = child._directional_kernel().astype(
+                    base.kernel[...].dtype
+                )
+                _set(parent, key, base)
+                n += 1
             else:
                 stack.append(child)
     return n
 
 
 def count_lora_params(module: nnx.Module) -> int:
-    import jax
-
     state = nnx.state(module, nnx.LoRAParam)
     return sum(int(jnp.size(leaf)) for leaf in jax.tree.leaves(state))
+
+
+class DoRALinear(nnx.Module):
+    """Weight-Decomposed Low-Rank Adaptation (Liu et al. 2024,
+    arXiv:2402.09353): ``W' = m * (W + B A) / ||W + B A||_col`` with a
+    trainable per-output-column magnitude ``m``.
+
+    All adapter state (``lora_a``, ``lora_b``, ``magnitude``) is
+    ``nnx.LoRAParam`` so the trainer's ``lora_only`` split trains exactly
+    the DoRA parameters; the base kernel/bias stay frozen. At init
+    ``B = 0`` and ``m = ||W||_col``, so the wrapped layer equals the base.
+    """
+
+    def __init__(self, base: nnx.Linear, rank: int, *, rngs: nnx.Rngs):
+        self.base = base
+        din, dout = base.in_features, base.out_features
+        init_a = nnx.initializers.he_uniform()
+        self.lora_a = nnx.LoRAParam(
+            init_a(rngs.params(), (din, rank), base.param_dtype)
+        )
+        self.lora_b = nnx.LoRAParam(jnp.zeros((rank, dout), base.param_dtype))
+        self.magnitude = nnx.LoRAParam(
+            jnp.linalg.norm(base.kernel[...].astype(jnp.float32), axis=0).astype(
+                base.param_dtype
+            )
+        )
+
+    def _directional_kernel(self) -> jax.Array:
+        w = self.base.kernel[...] + self.lora_a[...] @ self.lora_b[...]
+        col_norm = jnp.linalg.norm(w.astype(jnp.float32), axis=0)
+        # magnitude is trained; the column direction is normalized with the
+        # norm detached (the DoRA paper's gradient simplification, eq. 5)
+        col_norm = jax.lax.stop_gradient(jnp.maximum(col_norm, 1e-12))
+        return w * (self.magnitude[...].astype(jnp.float32) / col_norm).astype(w.dtype)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        y = x @ self._directional_kernel().astype(x.dtype)
+        if self.base.use_bias:
+            y = y + self.base.bias[...].astype(y.dtype)
+        return y
+

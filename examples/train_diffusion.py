@@ -83,8 +83,10 @@ def main() -> None:
                 restored = restore_checkpoint(base_ckpt, {"params": params, "rest": rest})
                 nnx.update(modules, restored["params"], restored["rest"])
             print(f"restored LoRA base weights from {base_ckpt}")
-        n_adapters = apply_lora(denoiser, int(lora_rank), rngs=nnx.Rngs(args.seed + 1))
-        print(f"LoRA: wrapped {n_adapters} projections at rank {lora_rank} "
+        variant = cfg["trainer"].get("lora_variant", "lora")
+        n_adapters = apply_lora(denoiser, int(lora_rank), rngs=nnx.Rngs(args.seed + 1),
+                                variant=variant)
+        print(f"{variant.upper()}: wrapped {n_adapters} projections at rank {lora_rank} "
               f"({count_lora_params(denoiser):,} adapter params)")
 
     print(f"Number of trainable parameters: {count_parameters(denoiser):,}")

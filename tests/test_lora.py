@@ -14,12 +14,22 @@ from diffulab_tpu.training.optim import adamw
 from diffulab_tpu.training.trainer import BaseTrainer
 
 
-def _model():
-    return MMDiT(
+def _model(live_gates: bool = False):
+    model = MMDiT(
         simple_dit=True, input_channels=3, inner_dim=32, embedding_dim=32,
         num_heads=4, mlp_ratio=2, patch_size=2, depth=2, n_classes=10,
         classifier_free=True, rngs=nnx.Rngs(0),
     )
+    if live_gates:
+        # adaLN-zero gates are zero at init, hiding block-internal changes
+        # from the output; nudge every param so adapter effects are visible
+        state = nnx.state(model, nnx.Param)
+        keys = iter(jax.random.split(jax.random.key(99), 4096))
+        state = jax.tree.map(
+            lambda v: v + jax.random.normal(next(keys), v.shape, v.dtype) * 0.05, state
+        )
+        nnx.update(model, state)
+    return model
 
 
 def _fwd(model, seed=1):
@@ -39,13 +49,18 @@ def test_apply_lora_is_identity_at_init():
 
 
 def test_lora_merge_matches_adapted_forward():
-    model = _model()
+    model = _model(live_gates=True)
+    ref = _fwd(model)
     apply_lora(model, rank=4, rngs=nnx.Rngs(1))
     # perturb adapters so the LoRA delta is non-trivial
-    for leaf_path, leaf in nnx.to_flat_state(nnx.state(model, nnx.LoRAParam)):
-        leaf.value = jax.random.normal(jax.random.key(hash(str(leaf_path)) % 2**31),
-                                       leaf.value.shape) * 0.02
+    state = nnx.state(model, nnx.LoRAParam)
+    keys = iter(jax.random.split(jax.random.key(42), 1000))
+    perturbed = jax.tree.map(
+        lambda v: v + jax.random.normal(next(keys), v.shape) * 0.02, state
+    )
+    nnx.update(model, perturbed)
     adapted = _fwd(model)
+    assert not np.allclose(adapted, ref)
     n = merge_lora(model)
     assert n > 0
     # adapters folded into base kernels: plain Linears, same function
@@ -94,3 +109,43 @@ def test_lora_only_training_freezes_base(tmp_path):
         for a, b in zip(jax.tree.leaves(lora_before), jax.tree.leaves(lora_after))
     ]
     assert max(moved) > 0  # adapters trained
+
+
+def test_dora_identity_at_init_and_merge():
+    from diffulab_tpu.training.lora import DoRALinear, apply_lora as _apply
+
+    model = _model(live_gates=True)
+    ref = _fwd(model)
+    n = _apply(model, rank=4, rngs=nnx.Rngs(2), variant="dora")
+    assert n == 8
+    # magnitude = ||W||_col and B = 0 -> exact identity
+    np.testing.assert_allclose(_fwd(model), ref, atol=1e-5)
+
+    # perturb adapters (including magnitudes), then merge back to plain Linears
+    state = nnx.state(model, nnx.LoRAParam)
+    keys = iter(jax.random.split(jax.random.key(43), 1000))
+    perturbed = jax.tree.map(
+        lambda v: v + jax.random.normal(next(keys), v.shape) * 0.02, state
+    )
+    nnx.update(model, perturbed)
+    adapted = _fwd(model)
+    assert not np.allclose(adapted, ref)
+    merged = merge_lora(model)
+    assert merged == 8 and count_lora_params(model) == 0
+    np.testing.assert_allclose(_fwd(model), adapted, atol=1e-5, rtol=1e-5)
+
+
+def test_dora_magnitude_trains_under_lora_only(tmp_path):
+    from diffulab_tpu.training.lora import apply_lora as _apply
+
+    model = _model()
+    _apply(model, rank=4, rngs=nnx.Rngs(2), variant="dora")
+    diffuser = Diffuser(model, sampling_method="euler", model_type="rectified_flow", n_steps=4)
+    trainer = BaseTrainer(n_epoch=1, save_path=tmp_path, project_name="dora")
+    trainer.train(
+        diffuser, adamw(lr=1e-2), DataLoader(_PairsDS(), batch_size=16, prefetch=0),
+        DataLoader(_PairsDS(16), batch_size=16, shuffle=False, prefetch=0),
+        log_validation_images=False, lora_only=True,
+    )
+    lora_state = nnx.state(model, nnx.LoRAParam)
+    assert all(np.isfinite(np.asarray(v)).all() for v in jax.tree.leaves(lora_state))
