@@ -89,7 +89,17 @@ def render_shape(
 
 
 class SyntheticShapesDataset(BaseDataset):
-    """Deterministic procedural shapes; ``data_path`` ignored (no IO)."""
+    """Deterministic procedural shapes; ``data_path`` ignored (no IO).
+
+    ``task``:
+      - "generate": class-conditional generation (x, y) — the default;
+      - "colorize": image-to-image — ``model_inputs`` additionally carries
+        ``x_context``: the luma (grayscale) rendering of the target, wired
+        into the denoisers' channel-concat conditioning path (reference
+        unet.py x_context / mmdit x_context concat). This instantiates the
+        reference roadmap's "different tasks (conditional generation,
+        Image to Image ...)" item with a runnable toy.
+    """
 
     n_classes = 10
 
@@ -100,8 +110,11 @@ class SyntheticShapesDataset(BaseDataset):
         n_samples: int = 10_000,
         image_size: int = 32,
         seed: int = 0,
+        task: str = "generate",
     ):
         super().__init__()
+        assert task in ("generate", "colorize"), task
+        self.task = task
         self.image_size = image_size
         # disjoint streams for train/val splits
         base_seed = seed * 2 + (0 if train else 1)
@@ -119,3 +132,20 @@ class SyntheticShapesDataset(BaseDataset):
 
     def preprocess_image(self, image: np.ndarray) -> np.ndarray:
         return image.astype(np.float32) / 127.5 - 1.0
+
+    @staticmethod
+    def _luma(x: np.ndarray) -> np.ndarray:
+        """BT.601 luma of [-1, 1] RGB, kept as a single channel in [-1, 1]."""
+        return (x @ np.asarray([0.299, 0.587, 0.114], np.float32))[..., None]
+
+    def __getitem__(self, idx: int):
+        batch = super().__getitem__(idx)
+        if self.task == "colorize":
+            batch["model_inputs"]["x_context"] = self._luma(batch["model_inputs"]["x"])
+        return batch
+
+    def get_batch(self, indices):
+        batch = super().get_batch(indices)
+        if self.task == "colorize":
+            batch["model_inputs"]["x_context"] = self._luma(batch["model_inputs"]["x"])
+        return batch

@@ -42,3 +42,16 @@ def test_fid_discriminates_distributions():
     ceiling = compute_fid(_flat_feats(val.images), _flat_feats(noise))
     assert floor < 0.1 * ceiling
     assert floor >= 0.0
+
+
+def test_colorize_task_ships_luma_context():
+    ds = SyntheticShapesDataset(n_samples=16, task="colorize")
+    batch = ds.get_batch(range(4))
+    mi = batch["model_inputs"]
+    assert set(mi) == {"x", "y", "x_context"}
+    assert mi["x_context"].shape == (4, 32, 32, 1)
+    # luma of the [-1,1] RGB, BT.601 weights
+    expected = mi["x"] @ np.asarray([0.299, 0.587, 0.114], np.float32)
+    np.testing.assert_allclose(mi["x_context"][..., 0], expected, atol=1e-6)
+    item = ds[0]
+    assert item["model_inputs"]["x_context"].shape == (32, 32, 1)
