@@ -78,7 +78,8 @@ class EDM:
         return x + sigma * noise, noise
 
     # --- preconditioned model call ---------------------------------------
-    def _denoised(self, model_fn: ModelFn, x, sigma, cond, drop):
+    def _denoised(self, model_fn: ModelFn, x, sigma, cond, drop,
+                  return_prediction: bool = False):
         sd = self.sigma_data
         s = sigma.reshape(-1, *([1] * (x.ndim - 1))).astype(jnp.float32)
         xf = x.astype(jnp.float32)
@@ -86,10 +87,11 @@ class EDM:
         c_out = s * sd / jnp.sqrt(s**2 + sd**2)
         c_in = 1.0 / jnp.sqrt(s**2 + sd**2)
         c_noise = jnp.log(jnp.maximum(sigma, 1e-20)).astype(jnp.float32) / 4.0
-        f = model_fn(
+        pred = model_fn(
             x=(c_in * xf).astype(x.dtype), timesteps=c_noise, cond=cond, drop=drop
-        )["x"].astype(jnp.float32)
-        return c_skip * xf + c_out * f
+        )
+        d = c_skip * xf + c_out * pred["x"].astype(jnp.float32)
+        return (d, pred) if return_prediction else d
 
     def _denoised_cfg(self, model_fn, x, sigma, cond, guidance_scale, use_cfg):
         if not use_cfg:
@@ -119,15 +121,19 @@ class EDM:
         xt, noise = self.add_noise(x0, timesteps, noise)
         if drop is None:
             drop = jnp.zeros((x0.shape[0],), bool)
-        denoised = self._denoised(model_fn, xt, timesteps, cond, drop)
+        denoised, prediction = self._denoised(
+            model_fn, xt, timesteps, cond, drop, return_prediction=True
+        )
         sd = self.sigma_data
         s = timesteps.reshape(-1, *([1] * (x0.ndim - 1))).astype(jnp.float32)
         weight = (s**2 + sd**2) / (s * sd) ** 2
         loss = jnp.mean(weight * (denoised - x0.astype(jnp.float32)) ** 2)
         loss_dict = {"loss": loss}
         for extra_loss in extra_losses:
+            # forward the full raw prediction (captured features etc.) with
+            # the preconditioned output in "x", matching Flow/GaussianDiffusion
             loss_dict[extra_loss.name] = extra_loss(
-                model_output={"x": denoised}, **(extra_args or {})
+                model_output={**prediction, "x": denoised}, **(extra_args or {})
             )
         return loss_dict
 
@@ -165,15 +171,14 @@ class EDM:
         x_euler = x.astype(jnp.float32) + dt * dxds
 
         if self.sampling_method == "heun":
+            # callers never take a Heun step INTO sigma = 0 (denoise peels the
+            # final step off as the exact x -> D collapse), so sigma_next > 0
             sig_next_b = jnp.full((b,), sigma_next, jnp.float32)
             d1 = self._denoised_cfg(
-                model_fn, x_euler.astype(x.dtype), jnp.maximum(sig_next_b, self.sigma_min),
+                model_fn, x_euler.astype(x.dtype), sig_next_b,
                 cond, guidance_scale, use_cfg,
             )
-            dxds2 = (x_euler - d1) / jnp.maximum(sigma_next, self.sigma_min)
-            x_heun = x.astype(jnp.float32) + dt * 0.5 * (dxds + dxds2)
-            # final step to sigma = 0: Euler only (D at sigma=0 is undefined)
-            x_next = jnp.where(sigma_next > 0, x_heun, x_euler)
+            x_next = x.astype(jnp.float32) + dt * 0.5 * (dxds + (x_euler - d1) / sigma_next)
         else:
             x_next = x_euler
 
@@ -199,7 +204,11 @@ class EDM:
             rng, init_rng = jax.random.split(rng)
             x = jax.random.normal(init_rng, data_shape, dtype=dtype) * self.sigma_max
         ts = jnp.asarray(self.timesteps)
-        pairs = jnp.stack([ts[:-1], ts[1:]], axis=1)
+        # all but the final (sigma_min -> 0) interval run through the solver;
+        # the final step is the exact collapse x -> D(x; sigma_min) for BOTH
+        # methods (Euler from sigma to 0 gives exactly D), which saves the
+        # Heun corrector's wasted model eval at sigma = 0
+        pairs = jnp.stack([ts[:-2], ts[1:-1]], axis=1)
 
         def body(carry, pair):
             x_t, step_rng = carry
@@ -212,13 +221,20 @@ class EDM:
             ys = {k: step[k] for k in step} if return_intermediates else None
             return (step["x_prev"].astype(x_t.dtype), step_rng), ys
 
-        (x_final, _), ys = jax.lax.scan(body, (x, rng), pairs)
+        (x_last, _), ys = jax.lax.scan(body, (x, rng), pairs)
+        sig_last = jnp.full((x.shape[0],), ts[-2], jnp.float32)
+        x_final = self._denoised_cfg(
+            model_fn, x_last, sig_last, cond, guidance_scale, use_cfg
+        ).astype(x.dtype)
         if clamp_x:
             x_final = jnp.clip(x_final, -1.0, 1.0)
         out: dict[str, jax.Array] = {"x": x_final}
         if return_intermediates and ys is not None:
             out["xt"] = jnp.concatenate(
-                [x[:, None], jnp.moveaxis(ys["x_prev"], 0, 1)], axis=1
+                [x[:, None], jnp.moveaxis(ys["x_prev"], 0, 1), x_final[:, None]],
+                axis=1,
             )
-            out["estimated_x0"] = jnp.moveaxis(ys["estimated_x0"], 0, 1)
+            out["estimated_x0"] = jnp.concatenate(
+                [jnp.moveaxis(ys["estimated_x0"], 0, 1), x_final[:, None]], axis=1
+            )
         return out

@@ -74,6 +74,16 @@ class GaussianDiffusion:
             raise ValueError(f"sampling method must be one of {list(SAMPLER_REGISTRY)}")
         if self.prediction_type not in ("epsilon", "xstart", "v"):
             raise ValueError("prediction_type must be 'epsilon', 'xstart', or 'v'")
+        if (
+            self.prediction_type != "epsilon"
+            and self.sampler_parameters.get("mean_type", "epsilon") != "epsilon"
+        ):
+            # _prediction_to_eps always emits an epsilon head; a non-epsilon
+            # sampler mean_type would reinterpret it as x0/x_{t-1}
+            raise ValueError(
+                "non-epsilon prediction_type requires the sampler's default "
+                "mean_type='epsilon' (the head is converted to epsilon before sampling)"
+            )
 
     @property
     def training_steps(self) -> int:

@@ -39,3 +39,27 @@ def restore_checkpoint(path: str | Path, target: dict[str, Any] | None = None) -
             abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
             return ckptr.restore(path, abstract)
         return ckptr.restore(path)
+
+
+def restore_train_modules(path: str | Path, modules, lora: bool = False) -> None:
+    """Restore a trainer checkpoint (``denoiser`` or ``ema`` dir) into a live
+    ``_TrainModules``-shaped module bundle, mirroring the trainer's split
+    exactly (training/trainer.py): ``params`` holds the trainable partition
+    (all ``nnx.Param`` normally; ``nnx.LoRAParam`` only for ``lora_only``
+    runs, whose base weights live in ``rest``) — the single shared
+    implementation for evaluate_fid / reflow / LoRA-base restores.
+
+    ``ema`` checkpoints store only ``{"params": ...}``; others store
+    ``{"params": ..., "rest": ...}``.
+    """
+    from flax import nnx
+
+    trainable = nnx.LoRAParam if lora else nnx.Param
+    _, params, _, rest = nnx.split(modules, trainable, nnx.RngState, ...)
+    path = Path(path)
+    if path.name == "ema":
+        params = restore_checkpoint(path, {"params": params})["params"]
+        nnx.update(modules, params)
+    else:
+        restored = restore_checkpoint(path, {"params": params, "rest": rest})
+        nnx.update(modules, restored["params"], restored["rest"])

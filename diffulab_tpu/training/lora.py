@@ -86,7 +86,8 @@ def apply_lora(
                 else:
                     wrapper = nnx.LoRA(
                         child.in_features, rank, child.out_features,
-                        base_module=child, param_dtype=child.param_dtype, rngs=rngs,
+                        base_module=child, dtype=child.dtype,
+                        param_dtype=child.param_dtype, rngs=rngs,
                     )
                 _set(parent, key, wrapper)
                 n += 1

@@ -141,8 +141,9 @@ class BaseTrainer(Trainer):
             model_inputs = dict(batch["model_inputs"])
             x0 = jnp.asarray(model_inputs.pop("x"))
             # coupled noise (ReFlow pairs datasets ship the z their x was
-            # generated from); independent Gaussian otherwise
-            coupled_noise = model_inputs.pop("noise", None)
+            # generated from); independent Gaussian otherwise. Scoped key so
+            # a conditioning input named "noise" is never swallowed.
+            coupled_noise = model_inputs.pop("coupled_noise", None)
             cond = model_inputs
             bsz = x0.shape[0]
             t_rng, n_rng, d_rng, m_rng = jax.random.split(rng, 4)
@@ -186,7 +187,7 @@ class BaseTrainer(Trainer):
             modules = nnx.merge(graphdef, params, rng_state, rest)
             model_inputs = dict(batch["model_inputs"])
             x0 = jnp.asarray(model_inputs.pop("x"))
-            coupled_noise = model_inputs.pop("noise", None)
+            coupled_noise = model_inputs.pop("coupled_noise", None)
             cond = model_inputs
             t_rng, n_rng = jax.random.split(rng)
             timesteps = diffusion.draw_timesteps(t_rng, x0.shape[0])

@@ -31,7 +31,7 @@ from flax import nnx
 from diffulab_tpu.config import compose_config, instantiate
 from diffulab_tpu.diffuse import Diffuser
 from diffulab_tpu.networks.repa.vit import ViTEncoder
-from diffulab_tpu.training.checkpoint import restore_checkpoint
+from diffulab_tpu.training.checkpoint import restore_train_modules
 from diffulab_tpu.training.trainer import _TrainModules
 from diffulab_tpu.training.evaluation import compute_fid, extract_features
 
@@ -97,18 +97,16 @@ def main() -> None:
         # respace instead of rebuilding: gaussian models keep their training
         # beta tables (constructing with tiny n_steps would redefine them)
         diffuser.set_steps(args.steps)
-    # mirror the trainer's split exactly (training/trainer.py:338-347): the
-    # checkpoints store a _TrainModules(denoiser, extra_losses) param tree
+    # LoRA-run checkpoints store adapters in params / base in rest; wrap the
+    # model the same way the training CLI did before restoring
+    lora_rank = cfg["trainer"].get("lora_rank")
+    if lora_rank:
+        from diffulab_tpu.training.lora import apply_lora
+
+        apply_lora(denoiser, int(lora_rank), rngs=nnx.Rngs(args.seed + 1),
+                   variant=cfg["trainer"].get("lora_variant", "lora"))
     modules = _TrainModules(diffuser.denoiser, diffuser.extra_losses)
-    graphdef, params, rng_state, rest = nnx.split(modules, nnx.Param, nnx.RngState, ...)
-    ckpt_path = Path(args.ckpt)
-    if ckpt_path.name == "ema":
-        restored = restore_checkpoint(ckpt_path, {"params": params})
-        params = restored["params"]
-    else:
-        restored = restore_checkpoint(ckpt_path, {"params": params, "rest": rest})
-        params, rest = restored["params"], restored["rest"]
-    nnx.update(modules, params, rest)
+    restore_train_modules(args.ckpt, modules, lora=bool(lora_rank))
     print(f"restored checkpoint from {args.ckpt}")
 
     feature_fn = frozen_vit_features(image_size=real_val.shape[1])

@@ -6,7 +6,7 @@ Two phases, both on-device:
 1. generate N coupled pairs (z, x-hat = ODE-solve(z)) from the checkpoint
    with the jitted ``Diffuser.generate`` path;
 2. continue training the SAME model on the couplings — the trainer consumes
-   the stored z through the ``noise`` batch key, so interpolation runs along
+   the stored z through the ``coupled_noise`` batch key, so interpolation runs along
    the pair's own trajectory.
 
 Usage:
@@ -34,7 +34,7 @@ from diffulab_tpu.config import compose_config, instantiate
 from diffulab_tpu.data.loader import DataLoader
 from diffulab_tpu.data.reflow import ReflowPairsDataset, generate_pairs
 from diffulab_tpu.diffuse import Diffuser
-from diffulab_tpu.training.checkpoint import restore_checkpoint
+from diffulab_tpu.training.checkpoint import restore_train_modules
 from diffulab_tpu.training.trainer import BaseTrainer, _TrainModules
 
 CONFIG_DIR = Path(__file__).parent.parent / "configs"
@@ -69,14 +69,7 @@ def main() -> None:
         extra_args=cfg["diffuser"].get("extra_args", {}),
     )
     modules = _TrainModules(diffuser.denoiser, diffuser.extra_losses)
-    graphdef, params, rng_state, rest = nnx.split(modules, nnx.Param, nnx.RngState, ...)
-    ckpt_path = Path(args.ckpt)
-    if ckpt_path.name == "ema":
-        params = restore_checkpoint(ckpt_path, {"params": params})["params"]
-    else:
-        restored = restore_checkpoint(ckpt_path, {"params": params, "rest": rest})
-        params, rest = restored["params"], restored["rest"]
-    nnx.update(modules, params, rest)
+    restore_train_modules(args.ckpt, modules)
     print(f"restored flow checkpoint from {args.ckpt}")
 
     # phase 1: couplings ---------------------------------------------------

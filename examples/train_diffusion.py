@@ -69,19 +69,12 @@ def main() -> None:
     lora_rank = cfg["trainer"].get("lora_rank")
     if lora_rank:
         from diffulab_tpu.training.lora import apply_lora, count_lora_params
-        from diffulab_tpu.training.checkpoint import restore_checkpoint
+        from diffulab_tpu.training.checkpoint import restore_train_modules
         from diffulab_tpu.training.trainer import _TrainModules
 
         base_ckpt = cfg["trainer"].get("lora_from")
         if base_ckpt:
-            modules = _TrainModules(denoiser, [])
-            _, params, _, rest = nnx.split(modules, nnx.Param, nnx.RngState, ...)
-            if Path(base_ckpt).name == "ema":
-                params = restore_checkpoint(base_ckpt, {"params": params})["params"]
-                nnx.update(modules, params)
-            else:
-                restored = restore_checkpoint(base_ckpt, {"params": params, "rest": rest})
-                nnx.update(modules, restored["params"], restored["rest"])
+            restore_train_modules(base_ckpt, _TrainModules(denoiser, []))
             print(f"restored LoRA base weights from {base_ckpt}")
         variant = cfg["trainer"].get("lora_variant", "lora")
         n_adapters = apply_lora(denoiser, int(lora_rank), rngs=nnx.Rngs(args.seed + 1),

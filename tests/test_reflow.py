@@ -43,7 +43,7 @@ def test_generate_pairs_couples_noise_to_samples():
     np.testing.assert_allclose(np.asarray(out["x"]), ds.x[:8], atol=1e-5)
     # batch protocol carries the noise key for the trainer
     batch = ds.get_batch([0, 1])
-    assert set(batch["model_inputs"]) == {"x", "noise", "y"}
+    assert set(batch["model_inputs"]) == {"x", "coupled_noise", "y"}
 
 
 def test_trainer_uses_coupled_noise():
