@@ -46,8 +46,8 @@ class EDM:
     s_noise: float = 1.0
 
     def __post_init__(self):
-        if self.sampling_method not in ("heun", "euler"):
-            raise ValueError("EDM sampling_method must be 'heun' or 'euler'")
+        if self.sampling_method not in ("heun", "euler", "dpmpp_2m"):
+            raise ValueError("EDM sampling_method must be 'heun', 'euler', or 'dpmpp_2m'")
 
     # --- schedule ---------------------------------------------------------
     @property
@@ -150,11 +150,40 @@ class EDM:
         rng: jax.Array | None = None,
         sampler_args: dict[str, Any] | None = None,
     ) -> dict[str, jax.Array]:
-        """One Karras step sigma -> sigma_next (Heun unless sampling_method
-        is 'euler' or sigma_next == 0, where the corrector is skipped)."""
-        del sampler_args
+        """One Karras step sigma -> sigma_next.
+
+        'heun': 2nd-order predictor-corrector (2 model evals);
+        'dpmpp_2m': multistep DPM-Solver++ on the VE (alpha = 1) schedule —
+        2nd order at ONE eval per step using the previous data prediction
+        threaded through ``sampler_args['state']``;
+        'euler': 1st order.
+        """
         b = x.shape[0]
         sig = jnp.full((b,), sigma, jnp.float32)
+
+        if self.sampling_method == "dpmpp_2m":
+            state = (sampler_args or {})["state"]
+            d0 = self._denoised_cfg(model_fn, x, sig, cond, guidance_scale, use_cfg)
+            # lambda = ln(1/sigma); h = lambda_next - lambda = ln(sigma/sigma_next)
+            h = jnp.log(sigma / jnp.maximum(sigma_next, 1e-12))
+            r_safe = jnp.maximum(state["h_last"] / jnp.maximum(h, 1e-12), 1e-8)
+            d2 = (1.0 + 1.0 / (2.0 * r_safe)) * d0 - (1.0 / (2.0 * r_safe)) * state[
+                "x0_prev"
+            ].astype(jnp.float32)
+            d = jnp.where(state["has_prev"], d2, d0)
+            # VE update: x_next = (sig_next/sig) x - (e^{-h} - 1) D,
+            # e^{-h} = sig_next/sig  (alpha = 1)
+            ratio = sigma_next / jnp.maximum(sigma, 1e-12)
+            x_next = ratio * x.astype(jnp.float32) + (1.0 - ratio) * d
+            return {
+                "x_prev": x_next.astype(x.dtype),
+                "estimated_x0": d0.astype(x.dtype),
+                "state": {
+                    "x0_prev": d0.astype(x.dtype),
+                    "h_last": h,
+                    "has_prev": jnp.ones((), bool),
+                },
+            }
 
         if self.s_churn > 0 and rng is not None:
             gamma = jnp.minimum(self.s_churn / self.n_steps, float(np.sqrt(2.0) - 1.0))
@@ -209,19 +238,31 @@ class EDM:
         # methods (Euler from sigma to 0 gives exactly D), which saves the
         # Heun corrector's wasted model eval at sigma = 0
         pairs = jnp.stack([ts[:-2], ts[1:-1]], axis=1)
+        multistep = self.sampling_method == "dpmpp_2m"
+        s_state0 = (
+            {
+                "x0_prev": jnp.zeros_like(x),
+                "h_last": jnp.zeros((), jnp.float32),
+                "has_prev": jnp.zeros((), bool),
+            }
+            if multistep
+            else {}
+        )
 
         def body(carry, pair):
-            x_t, step_rng = carry
+            x_t, step_rng, s_state = carry
             step_rng, use_rng = jax.random.split(step_rng)
             step = self.one_step_denoise(
                 model_fn, x_t, cond, pair[1], pair[0],
                 guidance_scale=guidance_scale, use_cfg=use_cfg,
                 rng=use_rng if self.s_churn > 0 else None,
+                sampler_args={"state": s_state} if multistep else None,
             )
+            s_state = step.pop("state", s_state)
             ys = {k: step[k] for k in step} if return_intermediates else None
-            return (step["x_prev"].astype(x_t.dtype), step_rng), ys
+            return (step["x_prev"].astype(x_t.dtype), step_rng, s_state), ys
 
-        (x_last, _), ys = jax.lax.scan(body, (x, rng), pairs)
+        (x_last, _, _), ys = jax.lax.scan(body, (x, rng, s_state0), pairs)
         sig_last = jnp.full((x.shape[0],), ts[-2], jnp.float32)
         x_final = self._denoised_cfg(
             model_fn, x_last, sig_last, cond, guidance_scale, use_cfg

@@ -127,3 +127,38 @@ def test_edm_through_diffuser_facade_jit_and_cfg():
     out2 = diffuser.generate(jax.random.key(4), {"y": jnp.arange(4)},
                              data_shape=(4, 8, 8, 3), guidance_scale=2.0, clamp_x=True)
     assert not np.allclose(np.asarray(out["x"]), np.asarray(out2["x"]))
+
+
+def test_dpmpp_on_edm_beats_euler_and_single_eval():
+    """VE-schedule DPM++(2M): 2nd order at one eval per step."""
+    u = jax.random.normal(jax.random.key(7), (2, 4, 4, 1))
+    calls = {"n": 0}
+
+    def curved_F(x, timesteps, cond, drop):
+        calls["n"] += 1  # trace-time call count = model evals per step fn
+        sigma = jnp.exp(4.0 * timesteps).reshape(-1, 1, 1, 1)
+        sd = 0.5
+        c_skip = sd**2 / (sigma**2 + sd**2)
+        c_out = sigma * sd / jnp.sqrt(sigma**2 + sd**2)
+        c_in = 1.0 / jnp.sqrt(sigma**2 + sd**2)
+        x_raw = x / c_in
+        target_d = jnp.cos(jnp.log1p(sigma)) * u + 0.8 * jnp.tanh(0.5 * x_raw)
+        return {"x": (target_d - c_skip * x_raw) / c_out}
+
+    eps = jax.random.normal(jax.random.key(8), (2, 4, 4, 1))
+    xT = 80.0 * eps
+    truth = np.asarray(
+        EDM(n_steps=1000, sampling_method="heun").denoise(
+            curved_F, cond={}, rng=jax.random.key(9), x=xT
+        )["x"]
+    )
+    errs = {}
+    for method in ("euler", "dpmpp_2m"):
+        calls["n"] = 0
+        out = EDM(n_steps=24, sampling_method=method).denoise(
+            curved_F, cond={}, rng=jax.random.key(9), x=xT
+        )
+        errs[method] = float(np.abs(np.asarray(out["x"]) - truth).max())
+        # single-eval per scan step + the final collapse eval (traced once each)
+        assert calls["n"] == 2
+    assert errs["dpmpp_2m"] < 0.6 * errs["euler"], errs
