@@ -48,3 +48,13 @@ def instantiate(cfg: Any, /, **kwargs: Any) -> Any:
     if partial:
         return functools.partial(target, *args, **call_kwargs)
     return target(*args, **call_kwargs)
+
+def model_dtype_kwargs(trainer_cfg) -> dict:
+    """bf16 mixed precision = construct the model with compute dtype bf16
+    (fp32 master params are the param_dtype default). The trainer's
+    ``precision_type`` knob selects it; anything else runs full fp32."""
+    import jax.numpy as jnp
+
+    if trainer_cfg.get("precision_type") == "bf16":
+        return {"dtype": jnp.bfloat16}
+    return {}

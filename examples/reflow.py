@@ -60,7 +60,9 @@ def main() -> None:
     cfg = compose_config(args.config_dir, args.config_name, args.overrides)
     assert cfg["diffuser"]["model_type"] == "rectified_flow", "reflow straightens flow models"
 
-    denoiser = instantiate(cfg["model"], rngs=nnx.Rngs(args.seed))
+    from diffulab_tpu.config.instantiate import model_dtype_kwargs
+    denoiser = instantiate(cfg["model"], rngs=nnx.Rngs(args.seed),
+                           **model_dtype_kwargs(cfg["trainer"]))
     diffuser = Diffuser(
         denoiser=denoiser,
         model_type="rectified_flow",

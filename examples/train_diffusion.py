@@ -19,6 +19,7 @@ import yaml
 from flax import nnx
 
 from diffulab_tpu.config import compose_config, instantiate
+from diffulab_tpu.config.instantiate import model_dtype_kwargs
 from diffulab_tpu.data.loader import DataLoader
 from diffulab_tpu.diffuse import Diffuser
 from diffulab_tpu.training.trainer import BaseTrainer
@@ -61,7 +62,8 @@ def main() -> None:
         prefetch=dl_cfg.get("prefetch", 2),
     )
 
-    denoiser = instantiate(cfg["model"], rngs=nnx.Rngs(args.seed))
+    denoiser = instantiate(cfg["model"], rngs=nnx.Rngs(args.seed),
+                           **model_dtype_kwargs(cfg["trainer"]))
 
     # LoRA finetuning (trainer.lora_rank + optional trainer.lora_from base
     # checkpoint): restore the base BEFORE wrapping (the wrapped param tree

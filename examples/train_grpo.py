@@ -79,7 +79,9 @@ def main() -> None:
     val_dataset = instantiate(cfg["dataset"]["val"])
 
     embedder = instantiate(cfg["embedder"], rngs=rngs)
-    denoiser = instantiate(cfg["model"], context_embedder=embedder, rngs=rngs)
+    from diffulab_tpu.config.instantiate import model_dtype_kwargs
+    denoiser = instantiate(cfg["model"], context_embedder=embedder, rngs=rngs,
+                           **model_dtype_kwargs(cfg["trainer"]))
     vision_tower = instantiate(cfg["vision_tower"], rngs=rngs)
     for ds in (train_dataset, val_dataset):
         ds.set_latent_scale(vision_tower.latent_scale)

@@ -41,7 +41,8 @@ def main() -> None:
     train_dataset = instantiate(cfg["dataset"]["train"])
     val_dataset = instantiate(cfg["dataset"]["val"])
 
-    denoiser = instantiate(cfg["model"], rngs=rngs)
+    from diffulab_tpu.config.instantiate import model_dtype_kwargs
+    denoiser = instantiate(cfg["model"], rngs=rngs, **model_dtype_kwargs(cfg["trainer"]))
 
     resampler_cfg = cfg.get("perceiver_resampler", {})
     repa_cfg = cfg.get("repa", {})

@@ -43,7 +43,9 @@ def main() -> None:
     val_dataset = instantiate(cfg["dataset"]["val"])
 
     embedder = instantiate(cfg["embedder"], rngs=rngs)
-    denoiser = instantiate(cfg["model"], context_embedder=embedder, rngs=rngs)
+    from diffulab_tpu.config.instantiate import model_dtype_kwargs
+    denoiser = instantiate(cfg["model"], context_embedder=embedder, rngs=rngs,
+                           **model_dtype_kwargs(cfg["trainer"]))
 
     resampler_cfg = cfg.get("perceiver_resampler", {})
     repa_cfg = cfg.get("repa", {})

@@ -55,3 +55,13 @@ def test_instantiate_model_with_kwargs():
 def test_instantiate_rejects_unknown_target():
     with pytest.raises(ImportError):
         instantiate({"_target_": "not.a.real.module.Thing"})
+
+
+def test_precision_type_selects_model_dtype():
+    import jax.numpy as jnp
+
+    from diffulab_tpu.config.instantiate import model_dtype_kwargs
+
+    assert model_dtype_kwargs({"precision_type": "bf16"}) == {"dtype": jnp.bfloat16}
+    assert model_dtype_kwargs({"precision_type": "no"}) == {}
+    assert model_dtype_kwargs({}) == {}
