@@ -77,10 +77,19 @@ class DataLoader:
         return jax.process_index()
 
     def __len__(self) -> int:
+        # must mirror _batch_indices exactly: on multi-host, batches smaller
+        # than process_count are dropped entirely, so they can't be counted
+        pc = self.process_count
         if self.sampler is not None:
-            return len(self.sampler)
+            if pc == 1:
+                return len(self.sampler)
+            return sum(1 for batch in self.sampler if len(batch) // pc > 0)
         n = len(self.dataset)
-        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        full = n // self.batch_size
+        rem = n % self.batch_size
+        if self.drop_last or rem == 0:
+            return full
+        return full + (1 if rem >= pc else 0)
 
     def _local_slice(self, batch: Sequence[int]) -> Sequence[int] | None:
         """This process's rows of a global batch. A trailing partial batch

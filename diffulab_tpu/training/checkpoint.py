@@ -41,12 +41,16 @@ def restore_checkpoint(path: str | Path, target: dict[str, Any] | None = None) -
         return ckptr.restore(path)
 
 
-def restore_train_modules(path: str | Path, modules, lora: bool = False) -> None:
+def restore_train_modules(
+    path: str | Path, modules, lora: bool = False, train_embedder: bool = False
+) -> None:
     """Restore a trainer checkpoint (``denoiser`` or ``ema`` dir) into a live
-    ``_TrainModules``-shaped module bundle, mirroring the trainer's split
-    exactly (training/trainer.py): ``params`` holds the trainable partition
-    (all ``nnx.Param`` normally; ``nnx.LoRAParam`` only for ``lora_only``
-    runs, whose base weights live in ``rest``) — the single shared
+    ``_TrainModules``-shaped module bundle, mirroring the trainer's three-way
+    trainable split exactly (``BaseTrainer.train``): ``nnx.LoRAParam`` for
+    ``lora_only`` runs (base weights ride in ``rest``); all ``nnx.Param`` when
+    the embedder is trained or absent; ``Param`` minus ``context_embedder``
+    for frozen-embedder (txt2img) runs — pass the same ``train_embedder`` the
+    run used or the orbax structure won't match. The single shared
     implementation for evaluate_fid / reflow / LoRA-base restores.
 
     ``ema`` checkpoints store only ``{"params": ...}``; others store
@@ -54,7 +58,12 @@ def restore_train_modules(path: str | Path, modules, lora: bool = False) -> None
     """
     from flax import nnx
 
-    trainable = nnx.LoRAParam if lora else nnx.Param
+    if lora:
+        trainable = nnx.LoRAParam
+    elif train_embedder or getattr(modules.denoiser, "context_embedder", None) is None:
+        trainable = nnx.Param
+    else:
+        trainable = nnx.All(nnx.Param, nnx.Not(nnx.PathContains("context_embedder")))
     _, params, _, rest = nnx.split(modules, trainable, nnx.RngState, ...)
     path = Path(path)
     if path.name == "ema":

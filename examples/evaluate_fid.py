@@ -98,11 +98,24 @@ def main() -> None:
         # beta tables (constructing with tiny n_steps would redefine them)
         diffuser.set_steps(args.steps)
     # LoRA-run checkpoints store adapters in params / base in rest; wrap the
-    # model the same way the training CLI did before restoring
+    # model the same way the training CLI did before restoring. An `ema` dir
+    # from a LoRA run holds ONLY adapter params, so the base weights must be
+    # restored from trainer.lora_from first — otherwise FID would silently be
+    # computed on random base weights.
     lora_rank = cfg["trainer"].get("lora_rank")
     if lora_rank:
         from diffulab_tpu.training.lora import apply_lora
 
+        base_ckpt = cfg["trainer"].get("lora_from")
+        if base_ckpt:
+            restore_train_modules(base_ckpt, _TrainModules(denoiser, []))
+            print(f"restored LoRA base weights from {base_ckpt}")
+        elif Path(args.ckpt).name == "ema":
+            raise SystemExit(
+                "--ckpt points at a LoRA run's ema dir, which stores only adapter "
+                "params; set trainer.lora_from so the base weights can be restored "
+                "(evaluating without them would score a random model)."
+            )
         apply_lora(denoiser, int(lora_rank), rngs=nnx.Rngs(args.seed + 1),
                    variant=cfg["trainer"].get("lora_variant", "lora"))
     modules = _TrainModules(diffuser.denoiser, diffuser.extra_losses)

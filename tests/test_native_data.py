@@ -82,3 +82,29 @@ def test_loader_process_sharding_partitions_global_batch():
         assert all(len(p) == 4 for p in parts)
         import numpy as np
         np.testing.assert_array_equal(np.concatenate(parts), g)
+
+
+def test_loader_len_matches_iteration_on_multihost():
+    """__len__ must count exactly the batches _batch_indices yields, including
+    multi-host trimming (batches smaller than process_count are dropped)."""
+    from diffulab_tpu.data.loader import DataLoader
+
+    class Idx:
+        def __init__(self, n):
+            self.n = n
+        def __len__(self):
+            return self.n
+        def get_batch(self, idx):
+            import numpy as np
+            return {"x": np.asarray(idx, np.int64)}
+
+    for n, bs, pc, drop_last in [
+        (18, 8, 4, False),  # trailing batch of 2 < pc=4: dropped
+        (18, 8, 4, True),
+        (20, 8, 4, False),  # trailing batch of 4 == pc: kept
+        (18, 8, 1, False),  # single process keeps ceil behavior
+        (16, 8, 2, False),
+    ]:
+        dl = DataLoader(Idx(n), batch_size=bs, shuffle=False, prefetch=0,
+                        drop_last=drop_last, process_index=0, process_count=pc)
+        assert len(dl) == sum(1 for _ in dl), (n, bs, pc, drop_last)
