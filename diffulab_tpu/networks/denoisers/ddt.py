@@ -39,7 +39,7 @@ from diffulab_tpu.networks.denoisers.mmdit import (
     _xavier,
 )
 from diffulab_tpu.networks.embedders.common import ContextEmbedder
-from diffulab_tpu.networks.nn import LabelEmbed, get_cos_sin_ndim_grid, timestep_embedding
+from diffulab_tpu.networks.nn import LabelEmbed, get_cos_sin_ndim_grid, stable_dtype, timestep_embedding
 
 
 class DDT(Denoiser):
@@ -89,6 +89,8 @@ class DDT(Denoiser):
         self.use_checkpoint = use_checkpoint
         self.feature_layers = tuple(feature_layers)
         kw = dict(rngs=rngs, dtype=dtype, param_dtype=param_dtype)
+        # fp32 residual token stream under mixed precision (see mmdit.MMDiT)
+        self.stream_dtype = stable_dtype(dtype)
 
         heads_dim = inner_dim // num_heads
         pooled = False
@@ -150,6 +152,8 @@ class DDT(Denoiser):
     def patchify(self, x: jax.Array, encoder: bool = True) -> tuple[jax.Array, tuple[int, int]]:
         conv = self.conv_proj_encoder if encoder else self.conv_proj_decoder
         x = conv(x)
+        if self.stream_dtype is not None:
+            x = x.astype(self.stream_dtype)
         b, hp, wp, c = x.shape
         return x.reshape(b, hp * wp, c), (hp, wp)
 
@@ -189,6 +193,8 @@ class DDT(Denoiser):
         if self.pooled_embedding:
             emb = self.mlp_pooled_context(context_output["pooled_embeddings"].astype(x.dtype)) + emb
         context = self.context_embed(context_output["embeddings"].astype(x.dtype))
+        if self.stream_dtype is not None:
+            context = context.astype(self.stream_dtype)
         attn_mask = context_output.get("attn_mask")
 
         pos_ids = jnp.concatenate(

@@ -43,6 +43,7 @@ from diffulab_tpu.networks.nn import (
     get_cos_sin_ndim_grid,
     modulate,
     packed_swiglu,
+    stable_dtype,
     timestep_embedding,
 )
 from diffulab_tpu.ops import dot_product_attention
@@ -333,6 +334,9 @@ class ModulatedLastLayer(nnx.Module):
 
     def __init__(self, embedding_dim: int, hidden_size: int, patch_size: int, out_channels: int,
                  *, rngs: nnx.Rngs, dtype=None, param_dtype=jnp.float32):
+        # final projection + its modulation stay fp32 under mixed precision
+        # (tiny matmul; the output feeds the fp32 loss/sampler math directly)
+        dtype = stable_dtype(dtype)
         self.norm_final = LayerNormFP32(hidden_size, use_affine=False, eps=1e-6, rngs=rngs, param_dtype=param_dtype)
         self.linear = _linear(hidden_size, patch_size * patch_size * out_channels,
                               rngs=rngs, dtype=dtype, param_dtype=param_dtype)
@@ -349,6 +353,7 @@ class TimeEmbedMlp(nnx.Module):
     """Linear -> SiLU -> Linear time-embedding MLP (reference mmdit.py:691-695)."""
 
     def __init__(self, in_dim: int, dim: int, *, rngs: nnx.Rngs, dtype=None, param_dtype=jnp.float32):
+        dtype = stable_dtype(dtype)  # per-sample conditioning path stays fp32
         self.fc1 = _linear(in_dim, dim, rngs=rngs, dtype=dtype, param_dtype=param_dtype)
         self.fc2 = _linear(dim, dim, rngs=rngs, dtype=dtype, param_dtype=param_dtype)
 
@@ -360,6 +365,7 @@ class PooledContextMlp(nnx.Module):
     """Linear -> SiLU -> Linear pooled-context MLP (reference mmdit.py:653-657)."""
 
     def __init__(self, in_dim: int, dim: int, *, rngs: nnx.Rngs, dtype=None, param_dtype=jnp.float32):
+        dtype = stable_dtype(dtype)  # per-sample conditioning path stays fp32
         self.fc1 = _linear(in_dim, dim * 2, rngs=rngs, dtype=dtype, param_dtype=param_dtype)
         self.fc2 = _linear(dim * 2, dim, rngs=rngs, dtype=dtype, param_dtype=param_dtype)
 
@@ -437,6 +443,12 @@ class MMDiT(Denoiser):
         )
         self.pipeline_microbatches = pipeline_microbatches
         self.mesh = None  # static; injected by set_parallel_mesh
+        # mixed precision: the residual token stream is carried at fp32 (None
+        # when dtype is already full precision); each block's matmuls cast
+        # their inputs down to `dtype`, and the branch output promotes back at
+        # the residual add — bf16 MXU throughput with fp32 accumulation, the
+        # torch-autocast semantics the reference trains under
+        self.stream_dtype = stable_dtype(dtype)
 
         kw = dict(rngs=rngs, dtype=dtype, param_dtype=param_dtype)
         heads_dim = inner_dim // num_heads
@@ -523,6 +535,8 @@ class MMDiT(Denoiser):
     def patchify(self, x: jax.Array) -> tuple[jax.Array, tuple[int, int]]:
         """NHWC image -> [B, Hp*Wp, inner_dim]; returns the token grid size."""
         x = self.conv_proj(x)
+        if self.stream_dtype is not None:
+            x = x.astype(self.stream_dtype)
         b, hp, wp, c = x.shape
         return x.reshape(b, hp * wp, c), (hp, wp)
 
@@ -565,6 +579,8 @@ class MMDiT(Denoiser):
             emb = self.mlp_pooled_context(context_output["pooled_embeddings"].astype(x.dtype)) + emb
 
         context = self.context_embed(context_output["embeddings"].astype(x.dtype))
+        if self.stream_dtype is not None:
+            context = context.astype(self.stream_dtype)
         attn_mask = context_output.get("attn_mask")
 
         pos_ids = jnp.concatenate(

@@ -39,7 +39,7 @@ from diffulab_tpu.networks.denoisers.mmdit import (
     _xavier,
 )
 from diffulab_tpu.networks.embedders.common import ContextEmbedder
-from diffulab_tpu.networks.nn import LabelEmbed, get_cos_sin_ndim_grid, timestep_embedding
+from diffulab_tpu.networks.nn import LabelEmbed, get_cos_sin_ndim_grid, stable_dtype, timestep_embedding
 
 
 class SprintDiT(Denoiser):
@@ -91,6 +91,8 @@ class SprintDiT(Denoiser):
         self.feature_layers = tuple(feature_layers)
         self.mask_token = nnx.Param(jnp.zeros((1, 1, inner_dim), dtype=param_dtype))
         kw = dict(rngs=rngs, dtype=dtype, param_dtype=param_dtype)
+        # fp32 residual token stream under mixed precision (see mmdit.MMDiT)
+        self.stream_dtype = stable_dtype(dtype)
 
         heads_dim = inner_dim // num_heads
         pooled = False
@@ -157,6 +159,8 @@ class SprintDiT(Denoiser):
     # --- patch ops -----------------------------------------------------------
     def patchify(self, x: jax.Array) -> tuple[jax.Array, tuple[int, int]]:
         x = self.conv_proj(x)
+        if self.stream_dtype is not None:
+            x = x.astype(self.stream_dtype)
         b, hp, wp, c = x.shape
         return x.reshape(b, hp * wp, c), (hp, wp)
 
@@ -225,6 +229,8 @@ class SprintDiT(Denoiser):
         if self.pooled_embedding:
             emb = self.mlp_pooled_context(context_output["pooled_embeddings"].astype(x.dtype)) + emb
         context = self.context_embed(context_output["embeddings"].astype(x.dtype))
+        if self.stream_dtype is not None:
+            context = context.astype(self.stream_dtype)
         attn_mask = context_output.get("attn_mask")
         s_txt = context.shape[1]
 
@@ -251,6 +257,9 @@ class SprintDiT(Denoiser):
 
         x_fused = self.fuse(jnp.concatenate([x_restored, x], axis=-1))
         context_fused = self.fuse_context(jnp.concatenate([context, encoder_context], axis=-1))
+        if self.stream_dtype is not None:  # fuse linears emit the matmul dtype
+            x_fused = x_fused.astype(self.stream_dtype)
+            context_fused = context_fused.astype(self.stream_dtype)
 
         for layer in self.decoder_layers:
             x_fused, context_fused = self._run_block(layer, x_fused, emb, context_fused, cos_sin, attn_mask)
@@ -282,6 +291,8 @@ class SprintDiT(Denoiser):
         x_restored = self.restore_tokens(x_dropped, kept, s_img, drop)
 
         x_fused = self.fuse(jnp.concatenate([x_restored, x], axis=-1))
+        if self.stream_dtype is not None:
+            x_fused = x_fused.astype(self.stream_dtype)
         for layer in self.decoder_layers:
             x_fused = self._run_block(layer, x_fused, emb, cos_sin, None)
         x_fused = self.last_layer(x_fused, emb)

@@ -36,6 +36,7 @@ from diffulab_tpu.networks.nn import (
     LabelEmbed,
     Upsample,
     geglu,
+    stable_dtype,
     timestep_embedding,
     zero_conv,
 )
@@ -83,7 +84,10 @@ class ResBlock(nnx.Module):
             self.h_upd = self.x_upd = None
 
         emb_out_dim = 2 * self.out_channels if use_scale_shift_norm else self.out_channels
-        self.emb_layer = nnx.Linear(emb_channels, emb_out_dim, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+        # FiLM conditioning stays fp32 under mixed precision (see nn.stable_dtype)
+        self.emb_layer = nnx.Linear(emb_channels, emb_out_dim, dtype=stable_dtype(dtype),
+                                    param_dtype=param_dtype, rngs=rngs)
+        self.stream_dtype = stable_dtype(dtype)
         self.out_norm = GroupNorm32(32, self.out_channels, rngs=rngs, param_dtype=param_dtype)
         self.dropout = nnx.Dropout(dropout)
         self.out_conv = zero_conv(self.out_channels, self.out_channels, (3, 3), **kw)
@@ -104,8 +108,9 @@ class ResBlock(nnx.Module):
         else:
             h = self.in_conv(jax.nn.silu(self.in_norm(x)))
 
-        emb_out = self.emb_layer(jax.nn.silu(emb)).astype(h.dtype)
-        emb_out = emb_out[:, None, None, :]  # broadcast over H, W (NHWC)
+        # FiLM in fp32 under mixed precision: emb_out keeps its stable dtype
+        # and promotes h at the add/modulate; out_conv casts back down
+        emb_out = self.emb_layer(jax.nn.silu(emb))[:, None, None, :]  # broadcast over H, W (NHWC)
         if self.use_scale_shift_norm:
             scale, shift = jnp.split(emb_out, 2, axis=-1)
             h = self.out_norm(h) * (1 + scale) + shift
@@ -114,7 +119,11 @@ class ResBlock(nnx.Module):
             h = self.out_norm(h)
         h = self.out_conv(self.dropout(jax.nn.silu(h), deterministic=not train, rngs=rngs))
         skip = self.skip(x) if self.skip is not None else x
-        return skip + h
+        out = skip + h
+        # residual accumulation at fp32 so small late contributions survive
+        if self.stream_dtype is not None:
+            out = out.astype(self.stream_dtype)
+        return out
 
 
 class AttentionBlock(nnx.Module):
@@ -306,8 +315,11 @@ class UNetModel(Denoiser):
         kw = dict(rngs=rngs, dtype=dtype, param_dtype=param_dtype)
 
         self.time_embed_dim = model_channels * 4
-        self.time_fc1 = nnx.Linear(model_channels, self.time_embed_dim, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
-        self.time_fc2 = nnx.Linear(self.time_embed_dim, self.time_embed_dim, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+        # per-sample time-embedding MLP stays fp32 under mixed precision
+        self.time_fc1 = nnx.Linear(model_channels, self.time_embed_dim, dtype=stable_dtype(dtype),
+                                   param_dtype=param_dtype, rngs=rngs)
+        self.time_fc2 = nnx.Linear(self.time_embed_dim, self.time_embed_dim, dtype=stable_dtype(dtype),
+                                   param_dtype=param_dtype, rngs=rngs)
         self.label_embed = nnx.data(
             LabelEmbed(n_classes, self.time_embed_dim, classifier_free, **kw)
             if n_classes is not None else None

@@ -28,6 +28,24 @@ from flax import nnx
 # --------------------------------------------------------------------------- #
 
 
+def stable_dtype(dtype):
+    """Compute dtype for the numerically sensitive conditioning path under
+    mixed precision: half dtypes (bf16/fp16) promote to fp32; None/fp32 pass
+    through unchanged.
+
+    This encodes the torch-autocast semantics the reference trains under
+    (trainers/common.py:105): autocast runs matmuls/convs in bf16 but keeps
+    normalization, the loss, and small pointwise paths fp32. A whole-model
+    ``dtype=bf16`` cast instead degraded quality measurably (BASELINE.md
+    precision ablation: EDM FID 4.24 -> 22.89), so modulation / time-embed /
+    label-embed / final-projection layers and the residual token stream use
+    this helper to stay fp32 while the big matmuls keep the half dtype.
+    """
+    if dtype is not None and jnp.issubdtype(dtype, jnp.floating) and jnp.finfo(dtype).bits < 32:
+        return jnp.float32
+    return dtype
+
+
 def timestep_embedding(timesteps: jax.Array, dim: int, max_period: int = 10_000) -> jax.Array:
     """Sinusoidal timestep embeddings, [B] -> [B, dim] (reference nn.py:91-114).
 
@@ -351,7 +369,7 @@ class LabelEmbed(nnx.Module):
         self.classifier_free_guidance = classifier_free_guidance
         n_embed = num_classes + 1 if classifier_free_guidance else num_classes
         self.embedding = nnx.Embed(
-            n_embed, embed_dim, dtype=dtype, param_dtype=param_dtype, rngs=rngs
+            n_embed, embed_dim, dtype=stable_dtype(dtype), param_dtype=param_dtype, rngs=rngs
         )
 
     def drop_labels(self, labels: jax.Array, drop: jax.Array) -> jax.Array:
@@ -389,6 +407,7 @@ class TimestepEmbedder(nnx.Module):
         param_dtype=jnp.float32,
     ):
         self.frequency_dim = frequency_dim
+        dtype = stable_dtype(dtype)  # per-sample conditioning path stays fp32
         self.fc1 = nnx.Linear(frequency_dim, hidden_dim, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
         self.fc2 = nnx.Linear(hidden_dim, hidden_dim, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
 
@@ -436,7 +455,7 @@ class Modulation(nnx.Module):
         self.lin = nnx.Linear(
             embedding_dim, n_chunks * input_dim,
             kernel_init=kernel_init, bias_init=nnx.initializers.zeros_init(),
-            dtype=dtype, param_dtype=param_dtype, rngs=rngs,
+            dtype=stable_dtype(dtype), param_dtype=param_dtype, rngs=rngs,
         )
 
     def __call__(self, vec: jax.Array):
