@@ -182,3 +182,259 @@ def load_dinov2_state_dict(model: ViTEncoder, state_dict: dict[str, np.ndarray],
     if "norm.weight" in state_dict and model.norm.use_scale:
         put(model.norm.scale, state_dict["norm.weight"])
         put(model.norm.bias, state_dict["norm.bias"])
+
+
+# --------------------------------------------------------------------------- #
+# DINOv3 (HF transformers DINOv3ViTModel architecture)
+# --------------------------------------------------------------------------- #
+
+
+def dinov3_rope_cos_sin(num_patches_h: int, num_patches_w: int, head_dim: int,
+                        theta: float = 100.0) -> tuple[jax.Array, jax.Array]:
+    """RoPE tables over normalized patch-center coordinates
+    (transformers modeling_dinov3_vit.DINOv3ViTRopePositionEmbedding +
+    get_patches_center_coordinates, eval-mode: no coordinate augmentation).
+
+    Returns (cos, sin) of shape [num_patches_h * num_patches_w, head_dim].
+    """
+    inv_freq = 1.0 / theta ** np.arange(0, 1, 4 / head_dim, dtype=np.float64)  # (hd/4,)
+    ch = (np.arange(0.5, num_patches_h, dtype=np.float64) / num_patches_h) * 2.0 - 1.0
+    cw = (np.arange(0.5, num_patches_w, dtype=np.float64) / num_patches_w) * 2.0 - 1.0
+    hh, ww = np.meshgrid(ch, cw, indexing="ij")
+    coords = np.stack([hh.reshape(-1), ww.reshape(-1)], axis=-1)  # (N, 2): (y, x)
+    angles = 2.0 * np.pi * coords[:, :, None] * inv_freq[None, None, :]  # (N, 2, hd/4)
+    angles = angles.reshape(angles.shape[0], -1)  # (N, hd/2)
+    angles = np.tile(angles, (1, 2))  # (N, hd)
+    return jnp.asarray(np.cos(angles), jnp.float32), jnp.asarray(np.sin(angles), jnp.float32)
+
+
+def _rotate_half(x: jax.Array) -> jax.Array:
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
+class Dinov3Attention(nnx.Module):
+    """Separate q/k/v projections with per-projection bias flags; RoPE applied
+    to patch tokens only (prefix cls+register tokens pass through unrotated)."""
+
+    def __init__(self, dim: int, num_heads: int, *, query_bias=True, key_bias=False,
+                 value_bias=True, proj_bias=True, rngs: nnx.Rngs, param_dtype=jnp.float32):
+        self.num_heads = num_heads
+        self.head_dim = dim // num_heads
+        kw = dict(param_dtype=param_dtype, rngs=rngs)
+        self.q_proj = nnx.Linear(dim, dim, use_bias=query_bias, **kw)
+        self.k_proj = nnx.Linear(dim, dim, use_bias=key_bias, **kw)
+        self.v_proj = nnx.Linear(dim, dim, use_bias=value_bias, **kw)
+        self.o_proj = nnx.Linear(dim, dim, use_bias=proj_bias, **kw)
+
+    def __call__(self, x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+        b, n, d = x.shape
+        num_patches = cos.shape[0]
+        n_prefix = n - num_patches
+        q = self.q_proj(x).reshape(b, n, self.num_heads, self.head_dim)
+        k = self.k_proj(x).reshape(b, n, self.num_heads, self.head_dim)
+        v = self.v_proj(x).reshape(b, n, self.num_heads, self.head_dim)
+        c = cos[None, :, None, :].astype(q.dtype)
+        s = sin[None, :, None, :].astype(q.dtype)
+
+        def rope(t):
+            prefix, patches = t[:, :n_prefix], t[:, n_prefix:]
+            patches = patches * c + _rotate_half(patches) * s
+            return jnp.concatenate([prefix, patches], axis=1)
+
+        out = jax.nn.dot_product_attention(rope(q), rope(k), v)
+        return self.o_proj(out.reshape(b, n, d))
+
+
+class Dinov3Block(nnx.Module):
+    def __init__(self, dim: int, num_heads: int, intermediate: int, use_gated_mlp: bool,
+                 eps: float = 1e-5, *, mlp_bias=True, query_bias=True, key_bias=False,
+                 value_bias=True, proj_bias=True, rngs: nnx.Rngs, param_dtype=jnp.float32):
+        kw = dict(param_dtype=param_dtype, rngs=rngs)
+        self.use_gated_mlp = use_gated_mlp
+        self.norm1 = nnx.LayerNorm(dim, epsilon=eps, **kw)
+        self.attn = Dinov3Attention(dim, num_heads, query_bias=query_bias, key_bias=key_bias,
+                                    value_bias=value_bias, proj_bias=proj_bias, **kw)
+        self.norm2 = nnx.LayerNorm(dim, epsilon=eps, **kw)
+        self.up_proj = nnx.Linear(dim, intermediate, use_bias=mlp_bias, **kw)
+        self.down_proj = nnx.Linear(intermediate, dim, use_bias=mlp_bias, **kw)
+        self.gate_proj = (
+            nnx.Linear(dim, intermediate, use_bias=mlp_bias, **kw) if use_gated_mlp else None
+        )
+        self.ls1 = nnx.Param(jnp.ones((dim,), param_dtype))
+        self.ls2 = nnx.Param(jnp.ones((dim,), param_dtype))
+
+    def __call__(self, x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+        x = x + self.attn(self.norm1(x), cos, sin) * self.ls1[...].astype(x.dtype)
+        h = self.norm2(x)
+        if self.gate_proj is not None:
+            h = self.down_proj(jax.nn.gelu(self.gate_proj(h), approximate=False) * self.up_proj(h))
+        else:
+            h = self.down_proj(jax.nn.gelu(self.up_proj(h), approximate=False))
+        return x + h * self.ls2[...].astype(x.dtype)
+
+
+class Dinov3ViTEncoder(nnx.Module):
+    """HF-architecture DINOv3 ViT (transformers DINOv3ViTModel, eval mode):
+    [cls; registers; patches] token order, RoPE position encoding over patch
+    centers (no learned pos table — any input resolution works), LayerScale,
+    plain-or-gated MLP. Returns normalized patch tokens (reference
+    src/diffulab/networks/repa/dinov3.py:102-116 strips cls+registers)."""
+
+    def __init__(
+        self,
+        patch_size: int = 16,
+        embed_dim: int = 768,
+        depth: int = 12,
+        num_heads: int = 12,
+        intermediate_size: int | None = None,
+        num_register_tokens: int = 4,
+        use_gated_mlp: bool = False,
+        rope_theta: float = 100.0,
+        layer_norm_eps: float = 1e-5,
+        final_norm_affine: bool = True,
+        query_bias: bool = True,
+        key_bias: bool = False,
+        value_bias: bool = True,
+        proj_bias: bool = True,
+        mlp_bias: bool = True,
+        *,
+        rngs: nnx.Rngs,
+        param_dtype=jnp.float32,
+    ):
+        self.patch_size = patch_size
+        self.embed_dim = embed_dim
+        self.num_register_tokens = num_register_tokens
+        self.head_dim = embed_dim // num_heads
+        self.rope_theta = rope_theta
+        intermediate_size = intermediate_size or 4 * embed_dim
+        kw = dict(param_dtype=param_dtype, rngs=rngs)
+        self.patch_embed = nnx.Conv(
+            3, embed_dim, (patch_size, patch_size), strides=(patch_size, patch_size),
+            padding="VALID", **kw,
+        )
+        self.cls_token = nnx.Param(jnp.zeros((1, 1, embed_dim), param_dtype))
+        self.register_tokens = (
+            nnx.Param(jnp.zeros((1, num_register_tokens, embed_dim), param_dtype))
+            if num_register_tokens > 0 else None
+        )
+        self.blocks = nnx.List([
+            Dinov3Block(embed_dim, num_heads, intermediate_size, use_gated_mlp,
+                        eps=layer_norm_eps, mlp_bias=mlp_bias, query_bias=query_bias,
+                        key_bias=key_bias, value_bias=value_bias, proj_bias=proj_bias, **kw)
+            for _ in range(depth)
+        ])
+        self.norm = nnx.LayerNorm(
+            embed_dim, epsilon=layer_norm_eps, use_bias=final_norm_affine,
+            use_scale=final_norm_affine, **kw,
+        )
+
+    def __call__(self, x: jax.Array) -> dict[str, jax.Array]:
+        """x: NHWC image -> {"patch_tokens": [B, N, D], "cls": [B, D]}."""
+        b, h, w, _ = x.shape
+        tokens = self.patch_embed(x).reshape(b, -1, self.embed_dim)
+        prefix = [jnp.broadcast_to(self.cls_token[...].astype(tokens.dtype), (b, 1, self.embed_dim))]
+        if self.register_tokens is not None:
+            prefix.append(jnp.broadcast_to(
+                self.register_tokens[...].astype(tokens.dtype),
+                (b, self.num_register_tokens, self.embed_dim),
+            ))
+        tokens = jnp.concatenate(prefix + [tokens], axis=1)
+        cos, sin = dinov3_rope_cos_sin(
+            h // self.patch_size, w // self.patch_size, self.head_dim, self.rope_theta
+        )
+        for block in self.blocks:
+            tokens = block(tokens, cos, sin)
+        tokens = self.norm(tokens)
+        n_prefix = 1 + self.num_register_tokens
+        return {"patch_tokens": tokens[:, n_prefix:], "cls": tokens[:, 0]}
+
+
+def build_dinov3_from_config(cfg: dict, *, final_norm_affine: bool = True,
+                             rngs: nnx.Rngs) -> Dinov3ViTEncoder:
+    """Construct a Dinov3ViTEncoder from an HF checkpoint dir's config.json."""
+    return Dinov3ViTEncoder(
+        patch_size=cfg.get("patch_size", 16),
+        embed_dim=cfg.get("hidden_size", 768),
+        depth=cfg.get("num_hidden_layers", 12),
+        num_heads=cfg.get("num_attention_heads", 12),
+        intermediate_size=cfg.get("intermediate_size"),
+        num_register_tokens=cfg.get("num_register_tokens", 0),
+        use_gated_mlp=cfg.get("use_gated_mlp", False),
+        rope_theta=cfg.get("rope_theta", 100.0),
+        layer_norm_eps=cfg.get("layer_norm_eps", 1e-5),
+        final_norm_affine=final_norm_affine,
+        query_bias=cfg.get("query_bias", True),
+        key_bias=cfg.get("key_bias", False),
+        value_bias=cfg.get("value_bias", True),
+        proj_bias=cfg.get("proj_bias", True),
+        mlp_bias=cfg.get("mlp_bias", True),
+        rngs=rngs,
+    )
+
+
+def load_dinov3_state_dict(model: Dinov3ViTEncoder, state_dict: dict[str, np.ndarray]) -> None:
+    """Port an HF DINOv3ViTModel state dict (numpy arrays) into a
+    Dinov3ViTEncoder. Key layout per transformers modeling_dinov3_vit:
+    embeddings.{cls_token,register_tokens,patch_embeddings.*}, layer.{i}.*,
+    norm.* (the `mask_token` is pre-training-only and ignored)."""
+
+    def put(param, value):
+        value = np.asarray(value)
+        assert param.shape == value.shape, f"{param.shape} vs {value.shape}"
+        param[...] = jnp.asarray(value, dtype=param[...].dtype)
+
+    def put_linear(lin, prefix):
+        put(lin.kernel, state_dict[prefix + ".weight"].T)
+        if lin.bias is not None and prefix + ".bias" in state_dict:
+            put(lin.bias, state_dict[prefix + ".bias"])
+
+    put(model.patch_embed.kernel,
+        np.transpose(state_dict["embeddings.patch_embeddings.weight"], (2, 3, 1, 0)))
+    put(model.patch_embed.bias, state_dict["embeddings.patch_embeddings.bias"])
+    put(model.cls_token, state_dict["embeddings.cls_token"])
+    if model.register_tokens is not None:
+        put(model.register_tokens, state_dict["embeddings.register_tokens"])
+    for i, block in enumerate(model.blocks):
+        pre = f"layer.{i}."
+        put(block.norm1.scale, state_dict[pre + "norm1.weight"])
+        put(block.norm1.bias, state_dict[pre + "norm1.bias"])
+        put_linear(block.attn.q_proj, pre + "attention.q_proj")
+        put_linear(block.attn.k_proj, pre + "attention.k_proj")
+        put_linear(block.attn.v_proj, pre + "attention.v_proj")
+        put_linear(block.attn.o_proj, pre + "attention.o_proj")
+        put(block.ls1, state_dict[pre + "layer_scale1.lambda1"])
+        put(block.ls2, state_dict[pre + "layer_scale2.lambda1"])
+        put(block.norm2.scale, state_dict[pre + "norm2.weight"])
+        put(block.norm2.bias, state_dict[pre + "norm2.bias"])
+        put_linear(block.up_proj, pre + "mlp.up_proj")
+        put_linear(block.down_proj, pre + "mlp.down_proj")
+        if block.gate_proj is not None:
+            put_linear(block.gate_proj, pre + "mlp.gate_proj")
+    if model.norm.use_scale:
+        put(model.norm.scale, state_dict["norm.weight"])
+        put(model.norm.bias, state_dict["norm.bias"])
+
+
+def load_hf_checkpoint_dir(path) -> tuple[dict, dict[str, np.ndarray]]:
+    """Read (config.json, merged numpy state dict) from an HF checkpoint
+    directory holding safetensors shards — no torch required."""
+    import json
+    from pathlib import Path
+
+    path = Path(path)
+    cfg = json.loads((path / "config.json").read_text())
+    state: dict[str, np.ndarray] = {}
+    shards = sorted(path.glob("*.safetensors"))
+    assert shards, f"no .safetensors files under {path}"
+    for shard in shards:
+        try:
+            from safetensors.numpy import load_file
+
+            state.update(load_file(str(shard)))
+        except Exception:
+            # bf16 shards have no numpy dtype; round-trip through torch
+            from safetensors.torch import load_file as load_torch
+
+            state.update({k: v.float().numpy() for k, v in load_torch(str(shard)).items()})
+    return cfg, state
