@@ -39,7 +39,7 @@ from diffulab_tpu.networks.denoisers.mmdit import (
     _xavier,
 )
 from diffulab_tpu.networks.embedders.common import ContextEmbedder
-from diffulab_tpu.networks.nn import LabelEmbed, get_cos_sin_ndim_grid, stable_dtype, timestep_embedding
+from diffulab_tpu.networks.nn import LabelEmbed, accum_dtype_kwargs, get_cos_sin_ndim_grid, stable_dtype, timestep_embedding
 
 
 class DDT(Denoiser):

@@ -39,6 +39,7 @@ from diffulab_tpu.networks.nn import (
     LabelEmbed,
     Modulation,
     QKNorm,
+    accum_dtype_kwargs,
     apply_rope_ndim_planar,
     get_cos_sin_ndim_grid,
     modulate,
@@ -68,6 +69,7 @@ def _linear(
         din, dout, use_bias=use_bias,
         kernel_init=_xavier(sharding), bias_init=nnx.initializers.zeros_init(),
         dtype=dtype, param_dtype=param_dtype, rngs=rngs,
+        **accum_dtype_kwargs(dtype),
     )
 
 
@@ -138,6 +140,9 @@ class DiTAttention(nnx.Module):
         self.rotary_dim = int(sum(rope_axes_dim))
         self.attention_impl = attention_impl
         self.mesh = None  # static; injected by set_parallel_mesh for 'ring'
+        # the Pallas kernels want half inputs (fp32 would leave the MXU fast
+        # path and double VMEM); they accumulate fp32 internally
+        self.kernel_dtype = dtype
         self.qkv = _linear(inner_dim, 3 * inner_dim, use_bias=False,
                            sharding=("embed", "hidden"), rngs=rngs, dtype=dtype, param_dtype=param_dtype)
         self.qk_norm = QKNorm(inner_dim, rngs=rngs, param_dtype=param_dtype)
@@ -165,6 +170,8 @@ class DiTAttention(nnx.Module):
         # permutation (nn.rope_planar_perm); for a from-scratch model the two
         # are the same distribution (see docs/rope_layout.md)
         q, k = apply_rope_ndim_planar(q, k, cos, sin, self.rotary_dim)
+        if self.kernel_dtype is not None:
+            q, k, v = (t.astype(self.kernel_dtype) for t in (q, k, v))
         out = self._attend(q, k, v, attn_mask)
         return self.proj_out(out.reshape(b, s, -1))
 
@@ -186,6 +193,7 @@ class MMDiTAttention(nnx.Module):
         self.rotary_dim = int(sum(rope_axes_dim))
         self.attention_impl = attention_impl
         self.mesh = None
+        self.kernel_dtype = dtype
         kw = dict(rngs=rngs, dtype=dtype, param_dtype=param_dtype)
         self.qkv_input = _linear(inner_dim, 3 * inner_dim, use_bias=False, sharding=("embed", "hidden"), **kw)
         self.qkv_context = _linear(inner_dim, 3 * inner_dim, use_bias=False, sharding=("embed", "hidden"), **kw)
@@ -213,6 +221,8 @@ class MMDiTAttention(nnx.Module):
         v = heads(jnp.concatenate([cv, iv], axis=1))
         cos, sin = cos_sin_rope
         q, k = apply_rope_ndim_planar(q, k, cos, sin, self.rotary_dim)
+        if self.kernel_dtype is not None:
+            q, k, v = (t.astype(self.kernel_dtype) for t in (q, k, v))
 
         kv_mask = None
         if attn_mask is not None:

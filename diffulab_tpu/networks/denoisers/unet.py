@@ -35,6 +35,7 @@ from diffulab_tpu.networks.nn import (
     GroupNorm32,
     LabelEmbed,
     Upsample,
+    accum_dtype_kwargs,
     geglu,
     stable_dtype,
     timestep_embedding,
@@ -151,7 +152,8 @@ class AttentionBlock(nnx.Module):
         self.dim_head = self.inner_channels // num_heads
         self.scale = self.dim_head**-0.5
         self.is_cross = context_channels is not None
-        kw = dict(dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+        self.kernel_dtype = dtype  # attention kernels want half inputs
+        kw = dict(dtype=dtype, param_dtype=param_dtype, rngs=rngs, **accum_dtype_kwargs(dtype))
 
         self.norm_x = GroupNorm32(32, channels, rngs=rngs, param_dtype=param_dtype)
         self.norm_context = GroupNorm32(32, self.context_channels, rngs=rngs, param_dtype=param_dtype)
@@ -179,6 +181,8 @@ class AttentionBlock(nnx.Module):
         q = q.reshape(b, -1, self.num_heads, self.dim_head)
         k = k.reshape(b, -1, self.num_heads, self.dim_head)
         v = v.reshape(b, -1, self.num_heads, self.dim_head)
+        if self.kernel_dtype is not None:
+            q, k, v = (t.astype(self.kernel_dtype) for t in (q, k, v))
         out = dot_product_attention(q, k, v, kv_mask=attn_mask, scale=self.scale)
         out = self.to_out(out.reshape(b, -1, self.inner_channels))
         out = self.dropout(out, deterministic=not train, rngs=rngs)
@@ -190,7 +194,7 @@ class FeedForward(nnx.Module):
 
     def __init__(self, channels: int, inner_channels: int, dropout: float = 0.0,
                  *, rngs: nnx.Rngs, dtype=None, param_dtype=jnp.float32):
-        kw = dict(dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+        kw = dict(dtype=dtype, param_dtype=param_dtype, rngs=rngs, **accum_dtype_kwargs(dtype))
         self.norm = GroupNorm32(32, channels, rngs=rngs, param_dtype=param_dtype)
         self.proj_in = nnx.Linear(channels, inner_channels * 2, **kw)
         self.proj_out = nnx.Linear(inner_channels, channels, **kw)
@@ -232,7 +236,7 @@ class TransformerBlock(nnx.Module):
                  inner_channels: int = -1, dropout: float = 0.0, mlp_ratio: int = 4, depth: int = 1,
                  *, rngs: nnx.Rngs, dtype=None, param_dtype=jnp.float32):
         self.inner_channels = channels if inner_channels == -1 else inner_channels
-        kw = dict(dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+        kw = dict(dtype=dtype, param_dtype=param_dtype, rngs=rngs, **accum_dtype_kwargs(dtype))
         self.norm_x = GroupNorm32(32, channels, rngs=rngs, param_dtype=param_dtype)
         self.proj_in = nnx.Linear(channels, self.inner_channels, **kw)
         self.attn_blocks = nnx.List([

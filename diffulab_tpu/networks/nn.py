@@ -46,6 +46,23 @@ def stable_dtype(dtype):
     return dtype
 
 
+def accum_dtype_kwargs(dtype) -> dict:
+    """Matmul/conv constructor kwargs that keep the MXU's fp32 accumulator:
+    under a half compute dtype, emit fp32 outputs (``preferred_element_type``)
+    instead of rounding the accumulated result back to bf16.
+
+    This is the second half of the mixed-precision policy (see
+    ``stable_dtype``): matmul INPUTS are bf16 (full MXU throughput — TPU
+    matmul precision DEFAULT truncates any fp32 operand to bf16 anyway, so
+    backward dots stay fast), but activations and weight GRADIENTS come out of
+    the fp32 accumulator un-rounded. Measured: output-rounding noise in
+    training was the dominant bf16 quality cost on the EDM recipe.
+    """
+    if dtype is not None and jnp.issubdtype(dtype, jnp.floating) and jnp.finfo(dtype).bits < 32:
+        return {"preferred_element_type": jnp.float32}
+    return {}
+
+
 def timestep_embedding(timesteps: jax.Array, dim: int, max_period: int = 10_000) -> jax.Array:
     """Sinusoidal timestep embeddings, [B] -> [B, dim] (reference nn.py:91-114).
 
@@ -473,7 +490,7 @@ def zero_linear(in_dim: int, out_dim: int, *, rngs: nnx.Rngs, dtype=jnp.float32,
     return nnx.Linear(
         in_dim, out_dim,
         kernel_init=nnx.initializers.zeros_init(), bias_init=nnx.initializers.zeros_init(),
-        dtype=dtype, param_dtype=param_dtype, rngs=rngs,
+        dtype=dtype, param_dtype=param_dtype, rngs=rngs, **accum_dtype_kwargs(dtype),
     )
 
 
@@ -481,6 +498,8 @@ def zero_conv(
     in_ch: int, out_ch: int, kernel: tuple[int, int], *, rngs: nnx.Rngs, dtype=jnp.float32, param_dtype=jnp.float32
 ) -> nnx.Conv:
     """Zero-initialized conv (guided-diffusion zero_module on out convs)."""
+    # no accum_dtype_kwargs: conv VJPs require matching operand dtypes, so a
+    # fp32 preferred output breaks the backward pass (unlike dot_general)
     return nnx.Conv(
         in_ch, out_ch, kernel, padding=(kernel[0] // 2, kernel[1] // 2),
         kernel_init=nnx.initializers.zeros_init(), bias_init=nnx.initializers.zeros_init(),
