@@ -82,12 +82,25 @@ class ShardedDatasetWriter:
 
 
 class ShardedDataset:
-    """Random-access reader with an LRU shard cache."""
+    """Random-access reader with an LRU shard cache.
+
+    Auto-detects the format from ``index.json``: either this module's npz
+    shards or a MosaicML MDS directory (reference-produced datasets; read
+    natively by ``data/mds.py``, no dependency)."""
 
     def __init__(self, dataset_dir: str | Path, cache_shards: int = 4):
         self.dataset_dir = Path(dataset_dir)
         with open(self.dataset_dir / INDEX_NAME) as f:
             index = json.load(f)
+        from diffulab_tpu.data.mds import MDSShardedDataset, is_mds_index
+
+        self._mds: MDSShardedDataset | None = None
+        if is_mds_index(index):
+            self._mds = MDSShardedDataset(self.dataset_dir, index)
+            self.shards = []
+            self.columns = self._mds.columns
+            self._offsets = self._mds._offsets
+            return
         self.shards: list[dict[str, Any]] = index["shards"]
         self.columns: list[str] = index["columns"]
         self._offsets = np.cumsum([0] + [s["n"] for s in self.shards])
@@ -110,6 +123,8 @@ class ShardedDataset:
         return shard
 
     def __getitem__(self, idx: int) -> dict[str, Any]:
+        if self._mds is not None:
+            return self._mds[idx]
         if idx < 0:
             idx += len(self)
         shard_idx = int(np.searchsorted(self._offsets, idx, side="right")) - 1
