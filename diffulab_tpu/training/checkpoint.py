@@ -9,6 +9,7 @@ loss improves (base_trainer.py:391-393), restored from explicit paths
 
 from __future__ import annotations
 
+import threading
 from pathlib import Path
 from typing import Any
 
@@ -28,6 +29,74 @@ def save_checkpoint(path: str | Path, payload: dict[str, Any]) -> None:
     path.parent.mkdir(parents=True, exist_ok=True)
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, _to_host(payload), force=True)
+
+
+@jax.jit
+def _device_snapshot_list(arrays: tuple) -> tuple:
+    # one dispatch for all leaves (per-leaf copies would pay the per-call
+    # relay overhead hundreds of times on the tunneled dev chip)
+    import jax.numpy as jnp
+
+    return tuple(jnp.copy(a) for a in arrays)
+
+
+def _snapshot_tree(payload: Any) -> Any:
+    """Copy every jax.Array leaf on-device in a single dispatch; pass all
+    other leaves (ints, numpy arrays) through untouched."""
+    leaves, treedef = jax.tree.flatten(payload)
+    idx = [i for i, leaf in enumerate(leaves) if isinstance(leaf, jax.Array)]
+    if idx:
+        copies = _device_snapshot_list(tuple(leaves[i] for i in idx))
+        for i, c in zip(idx, copies):
+            leaves[i] = c
+    return jax.tree.unflatten(treedef, leaves)
+
+
+class AsyncCheckpointer:
+    """Non-blocking checkpoint saves: the train loop pays only for an
+    on-device snapshot (HBM-bandwidth copy, one dispatch), while the
+    device-to-host transfer and the orbax write run on a background thread.
+
+    Donation safety: the jitted train step donates params/opt_state buffers,
+    so a background thread must never read the live training arrays — the
+    snapshot is a fresh set of buffers no jit call donates. Memory cost is
+    one extra copy of the saved state in HBM for the duration of the write.
+
+    Saves are serialized: a new ``save`` waits for the in-flight one first
+    (epoch-level best-val saves never queue more than one). ``wait()`` joins
+    the background thread and re-raises any write error; trainers call it at
+    the end of ``train`` so checkpoints are durable when training returns.
+    The reference's save path is synchronous torch.save
+    (trainers/common.py:130-176); async-with-snapshot is the production-
+    correct TPU design (a pod stalling on synchronous d2h wastes all chips).
+    """
+
+    def __init__(self) -> None:
+        self._thread: threading.Thread | None = None
+        self._error: BaseException | None = None
+
+    def wait(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._error is not None:
+            error, self._error = self._error, None
+            raise error
+
+    def save(self, entries: dict[str | Path, dict[str, Any]]) -> None:
+        """Snapshot and asynchronously write ``{path: payload}`` entries."""
+        self.wait()
+        snapshots = {path: _snapshot_tree(payload) for path, payload in entries.items()}
+
+        def work() -> None:
+            try:
+                for path, payload in snapshots.items():
+                    save_checkpoint(path, payload)
+            except BaseException as e:  # surfaced on next wait()/save()
+                self._error = e
+
+        self._thread = threading.Thread(target=work, daemon=True, name="ckpt-writer")
+        self._thread.start()
 
 
 def restore_checkpoint(path: str | Path, target: dict[str, Any] | None = None) -> dict[str, Any]:

@@ -361,5 +361,6 @@ class GRPOTrainer(Trainer):
                 tracker.reset()
 
         nnx.update(modules, params)
+        self.wait_for_checkpoints()
         self.tracker.finish()
         logger.info("GRPO training complete")

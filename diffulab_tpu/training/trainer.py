@@ -40,7 +40,11 @@ from diffulab_tpu.parallel.sharding import (
     global_batch_array,
     replicated,
 )
-from diffulab_tpu.training.checkpoint import restore_checkpoint, save_checkpoint
+from diffulab_tpu.training.checkpoint import (
+    AsyncCheckpointer,
+    restore_checkpoint,
+    save_checkpoint,
+)
 from diffulab_tpu.training.ema import EMAConfig, ema_update
 from diffulab_tpu.training.logging import Tracker
 from diffulab_tpu.training.meters import AverageMeter
@@ -77,6 +81,7 @@ class Trainer:
         mesh: MeshConfig | dict[str, int] | None = None,
         compile: bool = True,  # noqa: A002 - parity with the reference flag; jit is always on
         log_every_n_steps: int | None = None,
+        async_checkpointing: bool = True,
     ):
         del compile  # everything is jit-compiled; flag kept for config parity
         self.n_epoch = n_epoch
@@ -99,16 +104,32 @@ class Trainer:
             self.save_path, project_name=project_name, run_config=run_config,
             init_kwargs=init_kwargs, enabled=is_main_process(),
         )
+        # async: the loop pays one on-device snapshot; d2h + write ride a
+        # background thread (training/checkpoint.py::AsyncCheckpointer).
+        # wait_for_checkpoints() at the end of train() makes them durable.
+        self._async_ckptr = AsyncCheckpointer() if async_checkpointing else None
 
     # ------------------------------------------------------------------ #
     def save_model(self, diffuser: Diffuser, params, rest, opt_state, ema_params, step: int) -> None:
         """Best-val checkpoint (reference trainers/common.py:130-176 artifact set)."""
         base = self.save_path / "checkpoints"
-        save_checkpoint(base / "denoiser", {"params": params, "rest": rest})
-        save_checkpoint(base / "optimizer", {"opt_state": opt_state})
+        entries: dict[Any, dict[str, Any]] = {
+            base / "denoiser": {"params": params, "rest": rest},
+            base / "optimizer": {"opt_state": opt_state},
+        }
         if ema_params is not None:
-            save_checkpoint(base / "ema", {"params": ema_params})
-        save_checkpoint(base / "scheduler", {"step": step})
+            entries[base / "ema"] = {"params": ema_params}
+        entries[base / "scheduler"] = {"step": step}
+        if self._async_ckptr is not None:
+            self._async_ckptr.save(entries)
+        else:
+            for path, payload in entries.items():
+                save_checkpoint(path, payload)
+
+    def wait_for_checkpoints(self) -> None:
+        """Join the in-flight background save (re-raising write errors)."""
+        if self._async_ckptr is not None:
+            self._async_ckptr.wait()
 
 
 class BaseTrainer(Trainer):
@@ -478,5 +499,6 @@ class BaseTrainer(Trainer):
 
         # leave the live module holding the final trained params
         nnx.update(modules, params)
+        self.wait_for_checkpoints()
         self.tracker.finish()
         logger.info("Training complete")

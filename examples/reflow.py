@@ -112,6 +112,7 @@ def main() -> None:
         run_config=cfg,
         mesh=trainer_cfg.get("mesh"),
         log_every_n_steps=trainer_cfg.get("log_every_n_steps"),
+        async_checkpointing=trainer_cfg.get("async_checkpointing", True),
     )
     # CFG drop stays on only for class-conditional reflow
     p_cfg = trainer_cfg.get("p_classifier_free_guidance", 0.1) if n_classes else 0.0

@@ -140,6 +140,7 @@ def main() -> None:
         run_config=cfg,
         mesh=trainer_cfg.get("mesh"),
         init_kwargs={"wandb": trainer_cfg.get("wandb", {})},
+        async_checkpointing=trainer_cfg.get("async_checkpointing", True),
         timestep_fraction=grpo_cfg.get("timestep_fraction", 0.6),
         kl_beta=grpo_cfg.get("kl_beta", 0.0),
         mini_batch_size=grpo_cfg.get("mini_batch_size"),

@@ -103,6 +103,7 @@ def main() -> None:
         mesh=trainer_cfg.get("mesh"),
         init_kwargs={"wandb": trainer_cfg.get("wandb", {})},
         log_every_n_steps=trainer_cfg.get("log_every_n_steps"),
+        async_checkpointing=trainer_cfg.get("async_checkpointing", True),
     )
     trainer.train(
         diffuser=diffuser,
