@@ -217,6 +217,52 @@ class PrefGRPORewardModel(RewardModel):
         advantages = np.clip(advantages, -self.advantage_clip_max, self.advantage_clip_max)
         return advantages.reshape(b)
 
+    def raw_metrics(self, images: np.ndarray, context: Sequence[str]) -> dict[str, float]:
+        """Un-normalized quality metrics for learning curves (z-scored
+        advantages are ~0-mean by construction, so they cannot show whether
+        the policy's absolute reward improves). Judges exposing
+        ``image_score(uint8_img) -> float`` (e.g. :class:`LumaJudge`)
+        contribute a mean score; VLM judges have no absolute scale."""
+        del context
+        score = getattr(self.judge, "image_score", None)
+        if score is None:
+            return {}
+        values = [score(to_uint8_image(np.asarray(img))) for img in np.asarray(images)]
+        return {"judge_score": float(np.mean(values))}
+
+
+class LumaJudge:
+    """Deterministic pairwise judge with a REAL in-image preference: the
+    brighter image (higher mean Rec.601 luma) wins. Unlike the constant stub
+    judge, maximizing this preference changes the policy measurably — the
+    GRPO learning-loop validation (BASELINE.md) trains against it and tracks
+    ``image_score`` rising over epochs. Replies use the same score-block
+    format the VLM judge emits, so the full parse -> win-rate -> z-score
+    aggregation path is exercised.
+    """
+
+    @staticmethod
+    def image_score(image: np.ndarray) -> float:
+        """Mean luma in [0, 1] of a uint8 HWC image."""
+        img = np.asarray(image, np.float32) / 255.0
+        if img.ndim == 3 and img.shape[-1] == 3:
+            img = img @ np.array([0.299, 0.587, 0.114], np.float32)
+        return float(img.mean())
+
+    def __call__(self, queries: Sequence[tuple[np.ndarray, np.ndarray, str]]) -> list[str]:
+        outs = []
+        for i1, i2, _prompt in queries:
+            s1 = self.image_score(i1)
+            s2 = self.image_score(i2)
+            total = max(s1 + s2, 1e-6)
+            a, b = s1 / total, s2 / total
+            outs.append(
+                f"Alignment Score:\nImage 1: {a:.4f}\nImage 2: {b:.4f}\n"
+                f"Coherence Score:\nImage 1: {a:.4f}\nImage 2: {b:.4f}\n"
+                f"Style Score:\nImage 1: {a:.4f}\nImage 2: {b:.4f}"
+            )
+        return outs
+
 
 class VLMJudge:
     """Host-side UnifiedReward Qwen2.5-VL pairwise judge (gated on torch +

@@ -235,6 +235,11 @@ class GRPOTrainer(Trainer):
             for key, loss in losses.items():
                 tracker.update(float(loss), key=f"{prefix}/{key}")
         tracker.update(float(advantages.mean()), key=f"{prefix}/advantage_mean")
+        # absolute reward curves (z-scored advantages are 0-mean by design)
+        raw_metrics = getattr(reward_model, "raw_metrics", None)
+        if raw_metrics is not None:
+            for key, value in raw_metrics(images, list(captions)).items():
+                tracker.update(float(value), key=f"{prefix}/{key}")
         return params, opt_state, ema_params, step
 
     # ------------------------------------------------------------------ #

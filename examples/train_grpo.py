@@ -68,6 +68,11 @@ def main() -> None:
         "--stub-judge", action="store_true",
         help="replace the VLM judge with a deterministic stub (offline smoke runs)",
     )
+    parser.add_argument(
+        "--luma-judge", action="store_true",
+        help="deterministic brighter-image-wins judge: a REAL preference the "
+             "policy can learn (val/judge_score tracks mean luma per epoch)",
+    )
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args()
 
@@ -89,7 +94,11 @@ def main() -> None:
             ds.set_latent_bias(vision_tower.latent_bias)
 
     reward_cfg = dict(cfg["reward"])
-    if args.stub_judge:
+    if args.luma_judge:
+        from diffulab_tpu.networks.rewards.grpo import LumaJudge
+
+        reward_cfg["judge"] = LumaJudge()
+    elif args.stub_judge:
         # Alignment Score-format replies preferring image 1: exercises the
         # full parse -> win-rate -> z-score path without VLM weights.
         reward_cfg["judge"] = lambda queries: [

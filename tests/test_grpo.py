@@ -203,3 +203,29 @@ def test_grpo_mini_batch_sampling(tmp_path):
     keys = {k for r in rows for k in r}
     assert "train/loss" in keys
     assert all(np.isfinite(v) for r in rows for k, v in r.items() if k.endswith("loss"))
+
+
+def test_luma_judge_prefers_brighter_and_reports_metric():
+    """LumaJudge is a real preference: brighter image wins every dimension,
+    the reward model turns that into positive advantage for the bright
+    sample, and raw_metrics exposes the absolute mean-luma learning signal."""
+    from diffulab_tpu.networks.rewards.grpo import LumaJudge, PrefGRPORewardModel
+
+    judge = LumaJudge()
+    dark = np.full((8, 8, 3), -0.8, np.float32)
+    bright = np.full((8, 8, 3), 0.8, np.float32)
+
+    rm = PrefGRPORewardModel(version="7b", n_image_per_prompt=2, judge=judge)
+    adv = rm(np.stack([dark, bright]), ["a prompt"])
+    assert adv.shape == (2,)
+    assert adv[1] > 0 > adv[0]  # brighter image gets the positive advantage
+
+    metrics = rm.raw_metrics(np.stack([dark, bright]), ["a prompt"])
+    # mean luma of {-0.8, 0.8} images in [0,1] space ~ mean({0.1, 0.9}) = 0.5
+    assert abs(metrics["judge_score"] - 0.5) < 0.02
+
+    # ordering is stable through the score-block parse path
+    outs = judge([(np.zeros((4, 4, 3), np.uint8), np.full((4, 4, 3), 255, np.uint8), "p")])
+    assert "Image 2" in outs[0]
+    win, cnt = rm.parse_and_aggregate(outs, np.array([[0, 1]]), 1)
+    assert win[0, 1] == 1.0 and win[0, 0] == 0.0
