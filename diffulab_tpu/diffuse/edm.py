@@ -131,9 +131,11 @@ class EDM:
         loss_dict = {"loss": loss}
         for extra_loss in extra_losses:
             # forward the full raw prediction (captured features etc.) with
-            # the preconditioned output in "x", matching Flow/GaussianDiffusion
+            # the preconditioned output in "x", matching Flow/GaussianDiffusion;
+            # x0 rides along as a default for live-encoder REPA on pixel runs
             loss_dict[extra_loss.name] = extra_loss(
-                model_output={**prediction, "x": denoised}, **(extra_args or {})
+                model_output={**prediction, "x": denoised},
+                **{"x0": x0, **(extra_args or {})},
             )
         return loss_dict
 

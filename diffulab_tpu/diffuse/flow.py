@@ -178,7 +178,11 @@ class Flow:
         loss = flatten_nonbatch_mean(losses).mean()
         loss_dict = {"loss": loss}
         for extra_loss in extra_losses:
-            loss_dict[extra_loss.name] = extra_loss(model_output=prediction, **(extra_args or {}))
+            # x0 rides along as a default so pixel-space runs get live-encoder
+            # REPA for free; batch-provided extras (dst_features) override it
+            loss_dict[extra_loss.name] = extra_loss(
+                model_output=prediction, **{"x0": x0, **(extra_args or {})}
+            )
         return loss_dict
 
     # --- one reverse step -----------------------------------------------------

@@ -214,7 +214,11 @@ class GaussianDiffusion:
             vlb = jnp.where(t_mask, nll, kl)
             loss_dict["vlb"] = vlb_weight * vlb.reshape(vlb.shape[0], -1).mean(axis=-1).mean()
         for extra_loss in extra_losses:
-            loss_dict[extra_loss.name] = extra_loss(model_output=prediction, **(extra_args or {}))
+            # x0 rides along as a default so pixel-space runs get live-encoder
+            # REPA for free; batch-provided extras (dst_features) override it
+            loss_dict[extra_loss.name] = extra_loss(
+                model_output=prediction, **{"x0": x0, **(extra_args or {})}
+            )
         return loss_dict
 
     # --- prediction-parametrization conversions -------------------------------

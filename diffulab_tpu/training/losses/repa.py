@@ -24,12 +24,13 @@ from flax import nnx
 
 from diffulab_tpu.networks.repa.dinov2 import DinoV2
 from diffulab_tpu.networks.repa.dinov3 import DinoV3
+from diffulab_tpu.networks.repa.fixed import FixedViT
 from diffulab_tpu.networks.repa.perceiver_resampler import PerceiverResampler
 from diffulab_tpu.training.losses.common import LossFunction
 
 
 class RepaLoss(LossFunction):
-    encoder_registry = {"dinov2": DinoV2, "dinov3": DinoV3}
+    encoder_registry = {"dinov2": DinoV2, "dinov3": DinoV3, "fixed_vit": FixedViT}
     name: str = "RepaLoss"
 
     def __init__(
