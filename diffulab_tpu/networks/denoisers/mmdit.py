@@ -247,18 +247,23 @@ class DiTBlock(nnx.Module):
     def __init__(self, inner_dim: int, embedding_dim: int, num_heads: int, mlp_ratio: int,
                  rope_axes_dim: Sequence[int], *, rngs: nnx.Rngs, dtype=None, param_dtype=jnp.float32,
                  attention_impl: str = "auto", mlp_type: str = "swiglu",
-                 n_experts: int = 8, capacity_factor: float = 2.0):
+                 n_experts: int = 8, capacity_factor: float = 2.0,
+                 attention_dtype=None, mlp_dtype=None):
+        # per-component precision overrides (mixed-precision bisection /
+        # tuning): default to the block's compute dtype
+        attention_dtype = attention_dtype if attention_dtype is not None else dtype
+        mlp_dtype = mlp_dtype if mlp_dtype is not None else dtype
         self.modulation = Modulation(embedding_dim, inner_dim, rngs=rngs, dtype=dtype, param_dtype=param_dtype)
         self.norm_1 = LayerNormFP32(inner_dim, rngs=rngs, param_dtype=param_dtype)
-        self.attention = DiTAttention(inner_dim, num_heads, rope_axes_dim, rngs=rngs, dtype=dtype,
+        self.attention = DiTAttention(inner_dim, num_heads, rope_axes_dim, rngs=rngs, dtype=attention_dtype,
                                       param_dtype=param_dtype, attention_impl=attention_impl)
         self.norm_2 = LayerNormFP32(inner_dim, rngs=rngs, param_dtype=param_dtype)
         if mlp_type == "moe":
             self.mlp_input = MoEMlp(inner_dim, mlp_ratio, n_experts, capacity_factor,
-                                    rngs=rngs, dtype=dtype, param_dtype=param_dtype)
+                                    rngs=rngs, dtype=mlp_dtype, param_dtype=param_dtype)
         else:
             assert mlp_type == "swiglu", f"unknown mlp_type {mlp_type!r}"
-            self.mlp_input = SwiGLUMlp(inner_dim, mlp_ratio, rngs=rngs, dtype=dtype, param_dtype=param_dtype)
+            self.mlp_input = SwiGLUMlp(inner_dim, mlp_ratio, rngs=rngs, dtype=mlp_dtype, param_dtype=param_dtype)
 
     def __call__(self, x: jax.Array, y: jax.Array, cos_sin_rope, attn_mask=None) -> jax.Array:
         mod = self.modulation(y)
@@ -424,11 +429,17 @@ class MMDiT(Denoiser):
         n_experts: int = 8,
         capacity_factor: float = 2.0,
         pipeline_microbatches: int | None = None,
+        attention_dtype: Any = None,
+        mlp_dtype: Any = None,
         *,
         rngs: nnx.Rngs,
         dtype=None,
         param_dtype=jnp.float32,
     ):
+        # per-component precision overrides for mixed-precision tuning /
+        # bisection ("float32" string accepted from YAML configs)
+        attention_dtype = jnp.dtype(attention_dtype) if isinstance(attention_dtype, str) else attention_dtype
+        mlp_dtype = jnp.dtype(mlp_dtype) if isinstance(mlp_dtype, str) else mlp_dtype
         assert not (n_classes is not None and context_embedder is not None), (
             "n_classes and context_embedder cannot both be specified"
         )
@@ -512,7 +523,8 @@ class MMDiT(Denoiser):
         n_dual = depth - n_single_stream_blocks
         block_cls = DiTBlock if simple_dit else MMDiTBlock
         block_kw = dict(attention_impl=attention_impl, mlp_type=mlp_type,
-                        n_experts=n_experts, capacity_factor=capacity_factor, **kw)
+                        n_experts=n_experts, capacity_factor=capacity_factor,
+                        attention_dtype=attention_dtype, mlp_dtype=mlp_dtype, **kw)
         self.layers = nnx.List(
             [
                 block_cls(inner_dim, embedding_dim, num_heads, mlp_ratio, self.rope_axes_dim, **block_kw)
