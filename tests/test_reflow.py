@@ -2,6 +2,7 @@
 examples/reflow.py; reference roadmap item, unimplemented there)."""
 
 import json
+import os
 import subprocess
 import sys
 from pathlib import Path
@@ -75,11 +76,15 @@ def test_reflow_cli_end_to_end(tmp_path):
         "dataloader.batch_size=16", "diffuser.n_steps=4",
         f"trainer.save_path={tmp_path}", "trainer.precision_type=no",
     ]
+    # force real CPU in the subprocesses: the container's sitecustomize pins
+    # the TPU tunnel backend, and a "CPU" subprocess silently grabbing the
+    # relay wedges any concurrent chip job (CLAUDE.md environment gotchas)
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
     train = subprocess.run(
         [sys.executable, "examples/train_diffusion.py", "--config-name",
          "train_synthetic_flow_matching", "trainer.n_epoch=1", "trainer.val_steps=4",
          *env_overrides],
-        cwd=REPO, capture_output=True, text=True, timeout=900,
+        cwd=REPO, capture_output=True, text=True, timeout=900, env=env,
     )
     assert train.returncode == 0, train.stdout[-2000:] + train.stderr[-2000:]
     ckpt = tmp_path / "synthetic_flow_matching" / "checkpoints" / "denoiser"
@@ -89,7 +94,7 @@ def test_reflow_cli_end_to_end(tmp_path):
          "train_synthetic_flow_matching", "--ckpt", str(ckpt),
          "--n-pairs", "32", "--val-pairs", "16", "--epochs", "1",
          "--batch-size", "16", *env_overrides],
-        cwd=REPO, capture_output=True, text=True, timeout=900,
+        cwd=REPO, capture_output=True, text=True, timeout=900, env=env,
     )
     assert reflow.returncode == 0, reflow.stdout[-2000:] + reflow.stderr[-2000:]
     metrics = tmp_path / "synthetic_flow_matching_reflow" / "metrics.jsonl"
