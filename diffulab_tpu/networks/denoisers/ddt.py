@@ -39,7 +39,7 @@ from diffulab_tpu.networks.denoisers.mmdit import (
     _xavier,
 )
 from diffulab_tpu.networks.embedders.common import ContextEmbedder
-from diffulab_tpu.networks.nn import LabelEmbed, accum_dtype_kwargs, get_cos_sin_ndim_grid, stable_dtype, timestep_embedding
+from diffulab_tpu.networks.nn import LabelEmbed, get_cos_sin_ndim_grid, stable_dtype, timestep_embedding
 
 
 class DDT(Denoiser):
@@ -128,9 +128,9 @@ class DDT(Denoiser):
         self.last_layer = ModulatedLastLayer(inner_dim, inner_dim, patch_size, self.output_channels, **kw)
         self.time_embed = TimeEmbedMlp(frequency_embedding, inner_dim, **kw)
 
-        conv_kw = dict(
+        conv_kw = dict(  # patchify fp32 under mixed precision (see mmdit.MMDiT)
             strides=(patch_size, patch_size), use_bias=False, padding="VALID",
-            kernel_init=_xavier(), dtype=dtype, param_dtype=param_dtype, rngs=rngs,
+            kernel_init=_xavier(), dtype=stable_dtype(dtype), param_dtype=param_dtype, rngs=rngs,
         )
         self.conv_proj_encoder = nnx.Conv(input_channels, inner_dim, (patch_size, patch_size), **conv_kw)
         self.conv_proj_decoder = nnx.Conv(input_channels, inner_dim, (patch_size, patch_size), **conv_kw)

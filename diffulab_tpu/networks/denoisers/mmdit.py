@@ -514,10 +514,14 @@ class MMDiT(Denoiser):
         self.last_layer = ModulatedLastLayer(embedding_dim, inner_dim, patch_size,
                                              self.output_channels, **kw)
         self.time_embed = TimeEmbedMlp(frequency_embedding, embedding_dim, **kw)
+        # patchify stays fp32 under mixed precision: it is the model's input
+        # interface (a tiny 4->inner_dim conv, negligible time), its VJP
+        # cannot keep an fp32 accumulator (conv VJPs require matching operand
+        # dtypes), and its weights' gradient noise feeds everything downstream
         self.conv_proj = nnx.Conv(
             self.input_channels, inner_dim, (patch_size, patch_size),
             strides=(patch_size, patch_size), use_bias=False, padding="VALID",
-            kernel_init=_xavier(), dtype=dtype, param_dtype=param_dtype, rngs=rngs,
+            kernel_init=_xavier(), dtype=stable_dtype(dtype), param_dtype=param_dtype, rngs=rngs,
         )
 
         n_dual = depth - n_single_stream_blocks

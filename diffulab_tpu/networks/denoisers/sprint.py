@@ -39,7 +39,7 @@ from diffulab_tpu.networks.denoisers.mmdit import (
     _xavier,
 )
 from diffulab_tpu.networks.embedders.common import ContextEmbedder
-from diffulab_tpu.networks.nn import LabelEmbed, accum_dtype_kwargs, get_cos_sin_ndim_grid, stable_dtype, timestep_embedding
+from diffulab_tpu.networks.nn import LabelEmbed, get_cos_sin_ndim_grid, stable_dtype, timestep_embedding
 
 
 class SprintDiT(Denoiser):
@@ -133,10 +133,10 @@ class SprintDiT(Denoiser):
         self.fuse = _linear(inner_dim * 2, inner_dim, use_bias=False, **kw)
         self.last_layer = ModulatedLastLayer(embedding_dim, inner_dim, patch_size, self.output_channels, **kw)
         self.time_embed = TimeEmbedMlp(frequency_embedding, embedding_dim, **kw)
-        self.conv_proj = nnx.Conv(
+        self.conv_proj = nnx.Conv(  # patchify fp32 under mixed precision (see mmdit.MMDiT)
             input_channels, inner_dim, (patch_size, patch_size),
             strides=(patch_size, patch_size), use_bias=False, padding="VALID",
-            kernel_init=_xavier(), dtype=dtype, param_dtype=param_dtype, rngs=rngs,
+            kernel_init=_xavier(), dtype=stable_dtype(dtype), param_dtype=param_dtype, rngs=rngs,
         )
 
         block_cls = DiTBlock if simple_dit else MMDiTBlock
