@@ -86,12 +86,17 @@ def main() -> None:
     )
 
     denoiser = instantiate(cfg["model"], rngs=nnx.Rngs(args.seed))
+    # checkpoints store the trainable split of denoiser + extra losses, so
+    # the restore target must include the same loss modules the run trained
+    from diffulab_tpu.training.losses.build import build_extra_losses
+
     diffuser = Diffuser(
         denoiser=denoiser,
         model_type=cfg["diffuser"]["model_type"],
         n_steps=cfg["diffuser"]["n_steps"],
         sampling_method=cfg["diffuser"]["sampling_method"],
         extra_args=cfg["diffuser"].get("extra_args", {}),
+        extra_losses=build_extra_losses(cfg, seed=args.seed),
     )
     if args.steps:
         # respace instead of rebuilding: gaussian models keep their training

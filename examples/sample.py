@@ -59,12 +59,15 @@ def main() -> None:
     ds_cfg = cfg["dataset"]["val"]
 
     denoiser = instantiate(cfg["model"], rngs=nnx.Rngs(args.seed))
+    from diffulab_tpu.training.losses.build import build_extra_losses
+
     diffuser = Diffuser(
         denoiser=denoiser,
         model_type=cfg["diffuser"]["model_type"],
         n_steps=cfg["diffuser"]["n_steps"],
         sampling_method=args.sampler or cfg["diffuser"]["sampling_method"],
         extra_args=cfg["diffuser"].get("extra_args", {}),
+        extra_losses=build_extra_losses(cfg, seed=args.seed),
     )
     if args.steps:
         diffuser.set_steps(args.steps)
@@ -80,7 +83,7 @@ def main() -> None:
             raise SystemExit("LoRA ema checkpoints need trainer.lora_from for base weights")
         apply_lora(denoiser, int(lora_rank), rngs=nnx.Rngs(args.seed + 1),
                    variant=cfg["trainer"].get("lora_variant", "lora"))
-    restore_train_modules(args.ckpt, _TrainModules(denoiser, []), lora=bool(lora_rank))
+    restore_train_modules(args.ckpt, _TrainModules(denoiser, diffuser.extra_losses), lora=bool(lora_rank))
     print(f"restored {args.ckpt}")
 
     size = args.image_size or ds_cfg.get("image_size", 32)

@@ -89,24 +89,9 @@ def main() -> None:
     # optional REPA auxiliary loss on pixel-space runs: a `repa:` config
     # section builds RepaLoss with a live frozen encoder; the formalizations
     # forward x0 to it automatically, so no dataset change is needed
-    extra_losses = []
-    repa_cfg = cfg.get("repa")
-    if repa_cfg:
-        from diffulab_tpu.training.losses.repa import RepaLoss
+    from diffulab_tpu.training.losses.build import build_extra_losses
 
-        resampler_cfg = cfg.get("perceiver_resampler", {})
-        extra_losses.append(RepaLoss(
-            repa_encoder=repa_cfg.get("repa_encoder", "fixed_vit"),
-            encoder_args=repa_cfg.get("encoder_args"),
-            denoiser_dimension=cfg["model"]["inner_dim"],
-            alignment_layer=repa_cfg.get("alignment_layer", 8),
-            hidden_dim=repa_cfg.get("hidden_dim", 1024),
-            load_dino=True,
-            use_resampler=resampler_cfg.get("use_resampler", False),
-            resampler_params=resampler_cfg.get("parameters"),
-            coeff=repa_cfg.get("coeff", 0.5),
-            rngs=nnx.Rngs(args.seed + 2),
-        ))
+    extra_losses = build_extra_losses(cfg, seed=args.seed)
 
     diffuser = Diffuser(
         denoiser=denoiser,
