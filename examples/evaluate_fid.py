@@ -129,11 +129,29 @@ def main() -> None:
 
     feature_fn = frozen_vit_features(image_size=real_val.shape[1])
 
-    val_feats = extract_features(real_val, feature_fn, args.batch_size)
-    train_feats = extract_features(real_train, feature_fn, args.batch_size)
+    # real-data features are identical across evals of the same dataset
+    # split/seed — cache them (device time dominates on a relayed chip)
+    import hashlib
+
+    cache_key = hashlib.sha1(
+        repr((sorted(cfg["dataset"]["val"].items()), len(real_val), args.seed)).encode()
+    ).hexdigest()[:16]
+    cache_path = Path("data") / "fid_cache" / f"{cache_key}.npz"
+    if cache_path.exists():
+        cached = np.load(cache_path)
+        val_feats, train_feats, noise_feats = (
+            cached["val"], cached["train"], cached["noise"]
+        )
+        print(f"loaded cached real features ({cache_path})")
+    else:
+        val_feats = extract_features(real_val, feature_fn, args.batch_size)
+        train_feats = extract_features(real_train, feature_fn, args.batch_size)
+        noise = np.random.default_rng(args.seed).uniform(-1, 1, real_val.shape).astype(np.float32)
+        noise_feats = extract_features(noise, feature_fn, args.batch_size)
+        cache_path.parent.mkdir(parents=True, exist_ok=True)
+        np.savez(cache_path, val=val_feats, train=train_feats, noise=noise_feats)
     fid_floor = compute_fid(train_feats, val_feats)
-    noise = np.random.default_rng(args.seed).uniform(-1, 1, real_val.shape).astype(np.float32)
-    fid_ceiling = compute_fid(val_feats, extract_features(noise, feature_fn, args.batch_size))
+    fid_ceiling = compute_fid(val_feats, noise_feats)
     print(f"FID(train, val) floor     = {fid_floor:.3f}")
     print(f"FID(val, uniform noise)   = {fid_ceiling:.3f}")
 
