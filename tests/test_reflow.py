@@ -84,7 +84,7 @@ def test_reflow_cli_end_to_end(tmp_path):
         [sys.executable, "examples/train_diffusion.py", "--config-name",
          "train_synthetic_flow_matching", "trainer.n_epoch=1", "trainer.val_steps=4",
          *env_overrides],
-        cwd=REPO, capture_output=True, text=True, timeout=900, env=env,
+        cwd=REPO, capture_output=True, text=True, timeout=1800, env=env,
     )
     assert train.returncode == 0, train.stdout[-2000:] + train.stderr[-2000:]
     ckpt = tmp_path / "synthetic_flow_matching" / "checkpoints" / "denoiser"
@@ -94,7 +94,7 @@ def test_reflow_cli_end_to_end(tmp_path):
          "train_synthetic_flow_matching", "--ckpt", str(ckpt),
          "--n-pairs", "32", "--val-pairs", "16", "--epochs", "1",
          "--batch-size", "16", *env_overrides],
-        cwd=REPO, capture_output=True, text=True, timeout=900, env=env,
+        cwd=REPO, capture_output=True, text=True, timeout=1800, env=env,
     )
     assert reflow.returncode == 0, reflow.stdout[-2000:] + reflow.stderr[-2000:]
     metrics = tmp_path / "synthetic_flow_matching_reflow" / "metrics.jsonl"
