@@ -281,18 +281,22 @@ class MMDiTBlock(nnx.Module):
 
     def __init__(self, inner_dim: int, embedding_dim: int, num_heads: int, mlp_ratio: int,
                  rope_axes_dim: Sequence[int], *, rngs: nnx.Rngs, dtype=None, param_dtype=jnp.float32,
-                 attention_impl: str = "auto", **_unused):
+                 attention_impl: str = "auto", attention_dtype=None, mlp_dtype=None, **_unused):
         kw = dict(rngs=rngs, dtype=dtype, param_dtype=param_dtype)
+        # per-component precision overrides (BASELINE.md bf16 bisection knobs)
+        attention_dtype = attention_dtype if attention_dtype is not None else dtype
+        mlp_dtype = mlp_dtype if mlp_dtype is not None else dtype
         self.modulation_context = Modulation(embedding_dim, inner_dim, **kw)
         self.modulation_input = Modulation(embedding_dim, inner_dim, **kw)
         self.context_norm_1 = LayerNormFP32(inner_dim, rngs=rngs, param_dtype=param_dtype)
         self.input_norm_1 = LayerNormFP32(inner_dim, rngs=rngs, param_dtype=param_dtype)
         self.attention = MMDiTAttention(inner_dim, num_heads, rope_axes_dim,
-                                        attention_impl=attention_impl, **kw)
+                                        attention_impl=attention_impl, rngs=rngs,
+                                        dtype=attention_dtype, param_dtype=param_dtype)
         self.context_norm_2 = LayerNormFP32(inner_dim, rngs=rngs, param_dtype=param_dtype)
         self.input_norm_2 = LayerNormFP32(inner_dim, rngs=rngs, param_dtype=param_dtype)
-        self.mlp_context = SwiGLUMlp(inner_dim, mlp_ratio, **kw)
-        self.mlp_input = SwiGLUMlp(inner_dim, mlp_ratio, **kw)
+        self.mlp_context = SwiGLUMlp(inner_dim, mlp_ratio, rngs=rngs, dtype=mlp_dtype, param_dtype=param_dtype)
+        self.mlp_input = SwiGLUMlp(inner_dim, mlp_ratio, rngs=rngs, dtype=mlp_dtype, param_dtype=param_dtype)
 
     def __call__(self, x, y, context, cos_sin_rope, attn_mask=None):
         mod_i = self.modulation_input(y)
@@ -318,11 +322,15 @@ class MMDiTSingleStreamBlock(nnx.Module):
 
     def __init__(self, inner_dim: int, embedding_dim: int, num_heads: int, mlp_ratio: int,
                  rope_axes_dim: Sequence[int], *, rngs: nnx.Rngs, dtype=None, param_dtype=jnp.float32,
-                 attention_impl: str = "auto", **_unused):
+                 attention_impl: str = "auto", attention_dtype=None, mlp_dtype=None, **_unused):
         kw = dict(rngs=rngs, dtype=dtype, param_dtype=param_dtype)
-        self.mlp = SwiGLUMlp(inner_dim, mlp_ratio, **kw)
+        # per-component precision overrides (BASELINE.md bf16 bisection knobs)
+        attention_dtype = attention_dtype if attention_dtype is not None else dtype
+        mlp_dtype = mlp_dtype if mlp_dtype is not None else dtype
+        self.mlp = SwiGLUMlp(inner_dim, mlp_ratio, rngs=rngs, dtype=mlp_dtype, param_dtype=param_dtype)
         self.attention = DiTAttention(inner_dim, num_heads, rope_axes_dim,
-                                      attention_impl=attention_impl, **kw)
+                                      attention_impl=attention_impl, rngs=rngs,
+                                      dtype=attention_dtype, param_dtype=param_dtype)
         self.modulation = Modulation(embedding_dim, inner_dim, n_chunks=3, **kw)
         self.norm = LayerNormFP32(inner_dim, rngs=rngs, param_dtype=param_dtype)
 

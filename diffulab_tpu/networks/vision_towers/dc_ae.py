@@ -204,10 +204,15 @@ class DCDownBlock(nnx.Module):
         self.conv = _conv(cin, cout, 3, stride=2, rngs=rngs, dtype=dtype,
                           param_dtype=param_dtype)
         self.cout = cout
+        # the parameter-free shortcut needs 4*cin to group-average into cout;
+        # incompatible (tiny test) geometries just drop it
+        self.shortcut = (4 * cin) % cout == 0
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        shortcut = _channel_group_mean(_space_to_depth(x), self.cout)
-        return self.conv(x) + shortcut
+        h = self.conv(x)
+        if not self.shortcut:
+            return h
+        return h + _channel_group_mean(_space_to_depth(x), self.cout)
 
 
 class DCUpBlock(nnx.Module):
@@ -225,14 +230,17 @@ class DCUpBlock(nnx.Module):
         self.cin, self.cout = cin, cout
         out = cout * 4 if mode == "pixel_shuffle" else cout
         self.conv = _conv(cin, out, 3, rngs=rngs, dtype=dtype, param_dtype=param_dtype)
+        # channel-duplication shortcut needs cin to repeat evenly into 4*cout
+        self.shortcut = mode == "pixel_shuffle" and (4 * cout) % cin == 0 and 4 * cout >= cin
 
     def __call__(self, x: jax.Array) -> jax.Array:
         if self.mode == "interpolate":
             return self.conv(nearest_upsample_2x(x))
         h = _depth_to_space(self.conv(x))
+        if not self.shortcut:
+            return h
         rep = (4 * self.cout) // self.cin
-        shortcut = _depth_to_space(jnp.repeat(x, rep, axis=-1))
-        return h + shortcut
+        return h + _depth_to_space(jnp.repeat(x, rep, axis=-1))
 
 
 class DCAEEncoder(nnx.Module):
@@ -258,13 +266,17 @@ class DCAEEncoder(nnx.Module):
         self.down_blocks = nnx.List(stages)
         self.conv_out = _conv(channels[-1], latent_channels, 3, **kw)
         self.latent_channels = latent_channels
+        self.out_shortcut = channels[-1] % latent_channels == 0
 
     def __call__(self, x: jax.Array) -> jax.Array:
         x = self.conv_in(x)
         for stage in self.down_blocks:
             for block in stage:
                 x = block(x)
-        return self.conv_out(x) + _channel_group_mean(x, self.latent_channels)
+        h = self.conv_out(x)
+        if not self.out_shortcut:
+            return h
+        return h + _channel_group_mean(x, self.latent_channels)
 
 
 class DCAEDecoder(nnx.Module):
@@ -277,7 +289,9 @@ class DCAEDecoder(nnx.Module):
                  dtype=None, param_dtype=jnp.float32):
         kw = dict(rngs=rngs, dtype=dtype, param_dtype=param_dtype)
         self.conv_in = _conv(latent_channels, channels[-1], 3, **kw)
-        self.in_repeats = channels[-1] // latent_channels
+        # latent-repeat shortcut only when the latent repeats evenly
+        self.in_repeats = (channels[-1] // latent_channels
+                           if channels[-1] % latent_channels == 0 else 0)
         stages = []
         n = len(channels)
         for i in reversed(range(n)):
@@ -295,7 +309,9 @@ class DCAEDecoder(nnx.Module):
         self.conv_out = _conv(channels[0], out_channels, 3, **kw)
 
     def __call__(self, z: jax.Array) -> jax.Array:
-        x = self.conv_in(z) + jnp.repeat(z, self.in_repeats, axis=-1)
+        x = self.conv_in(z)
+        if self.in_repeats:
+            x = x + jnp.repeat(z, self.in_repeats, axis=-1)
         for stage in self.up_blocks:
             for block in stage:
                 x = block(x)

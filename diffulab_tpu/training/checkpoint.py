@@ -110,34 +110,63 @@ def restore_checkpoint(path: str | Path, target: dict[str, Any] | None = None) -
         return ckptr.restore(path)
 
 
+def trainable_filter(denoiser, *, lora: bool = False, train_embedder: bool = False,
+                     freeze_repa_encoder: bool = True):
+    """The trainer's trainable-params filter (single source of truth for
+    BaseTrainer / GRPOTrainer / restore_train_modules — the checkpoint layout
+    IS this filter): ``nnx.LoRAParam`` for adapter-only runs; otherwise
+    ``nnx.Param`` minus frozen submodules — the ``context_embedder`` on
+    frozen-embedder (txt2img) runs and the live REPA ``repa_encoder`` (its
+    features are a fixed alignment target behind stop_gradient; keeping it
+    out of the optimizer stops weight decay from drifting it and saves
+    adamw/EMA state for params that never receive gradients)."""
+    from flax import nnx
+
+    if lora:
+        return nnx.LoRAParam
+    exclude = []
+    if freeze_repa_encoder:
+        exclude.append(nnx.Not(nnx.PathContains("repa_encoder")))
+    if not train_embedder and getattr(denoiser, "context_embedder", None) is not None:
+        exclude.append(nnx.Not(nnx.PathContains("context_embedder")))
+    if not exclude:
+        return nnx.Param
+    return nnx.All(nnx.Param, *exclude)
+
+
 def restore_train_modules(
     path: str | Path, modules, lora: bool = False, train_embedder: bool = False
 ) -> None:
     """Restore a trainer checkpoint (``denoiser`` or ``ema`` dir) into a live
-    ``_TrainModules``-shaped module bundle, mirroring the trainer's three-way
-    trainable split exactly (``BaseTrainer.train``): ``nnx.LoRAParam`` for
-    ``lora_only`` runs (base weights ride in ``rest``); all ``nnx.Param`` when
-    the embedder is trained or absent; ``Param`` minus ``context_embedder``
-    for frozen-embedder (txt2img) runs — pass the same ``train_embedder`` the
-    run used or the orbax structure won't match. The single shared
-    implementation for evaluate_fid / reflow / LoRA-base restores.
+    ``_TrainModules``-shaped module bundle, mirroring the trainer's
+    trainable split exactly (:func:`trainable_filter`) — pass the same
+    ``lora``/``train_embedder`` the run used or the orbax structure won't
+    match. The single shared implementation for evaluate_fid / sample /
+    reflow / LoRA-base restores.
 
     ``ema`` checkpoints store only ``{"params": ...}``; others store
-    ``{"params": ..., "rest": ...}``.
+    ``{"params": ..., "rest": ...}``. Checkpoints written before the live
+    REPA encoder was excluded from the trainable split (it used to ride in
+    ``params``) restore through a legacy-layout fallback.
     """
     from flax import nnx
 
-    if lora:
-        trainable = nnx.LoRAParam
-    elif train_embedder or getattr(modules.denoiser, "context_embedder", None) is None:
-        trainable = nnx.Param
-    else:
-        trainable = nnx.All(nnx.Param, nnx.Not(nnx.PathContains("context_embedder")))
-    _, params, _, rest = nnx.split(modules, trainable, nnx.RngState, ...)
+    filters = [trainable_filter(modules.denoiser, lora=lora, train_embedder=train_embedder)]
+    if not lora and any(getattr(l, "repa_encoder", None) is not None
+                        for l in getattr(modules, "extra_losses", [])):
+        filters.append(trainable_filter(modules.denoiser, train_embedder=train_embedder,
+                                        freeze_repa_encoder=False))
     path = Path(path)
-    if path.name == "ema":
-        params = restore_checkpoint(path, {"params": params})["params"]
-        nnx.update(modules, params)
-    else:
-        restored = restore_checkpoint(path, {"params": params, "rest": rest})
-        nnx.update(modules, restored["params"], restored["rest"])
+    for i, trainable in enumerate(filters):
+        _, params, _, rest = nnx.split(modules, trainable, nnx.RngState, ...)
+        try:
+            if path.name == "ema":
+                params = restore_checkpoint(path, {"params": params})["params"]
+                nnx.update(modules, params)
+            else:
+                restored = restore_checkpoint(path, {"params": params, "rest": rest})
+                nnx.update(modules, restored["params"], restored["rest"])
+            return
+        except Exception:
+            if i == len(filters) - 1:
+                raise

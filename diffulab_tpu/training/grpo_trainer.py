@@ -274,8 +274,10 @@ class GRPOTrainer(Trainer):
             diffuser.denoiser.set_parallel_mesh(self.mesh)
 
         modules = _TrainModules(diffuser.denoiser, diffuser.extra_losses)
-        # context embedder hard-frozen during GRPO (reference :514-515)
-        trainable = nnx.All(nnx.Param, nnx.Not(nnx.PathContains("context_embedder")))
+        # context embedder hard-frozen during GRPO (reference :514-515);
+        # shared filter also keeps any live REPA encoder out of the optimizer
+        trainable = nnx.All(nnx.Param, nnx.Not(nnx.PathContains("context_embedder")),
+                            nnx.Not(nnx.PathContains("repa_encoder")))
         graphdef, params, rng_state, rest = nnx.split(modules, trainable, nnx.RngState, ...)
 
         if denoiser_ckpt:

@@ -44,6 +44,7 @@ from diffulab_tpu.training.checkpoint import (
     AsyncCheckpointer,
     restore_checkpoint,
     save_checkpoint,
+    trainable_filter,
 )
 from diffulab_tpu.training.ema import EMAConfig, ema_update
 from diffulab_tpu.training.logging import Tracker
@@ -379,14 +380,11 @@ class BaseTrainer(Trainer):
 
         # --- split modules into trainable params / the rest ---------------
         modules = _TrainModules(diffuser.denoiser, diffuser.extra_losses)
-        if lora_only:
-            # adapter-only finetuning (training/lora.py): base weights ride
-            # frozen in `rest`; optimizer/EMA state covers adapters only
-            trainable = nnx.LoRAParam
-        elif train_embedder or getattr(diffuser.denoiser, "context_embedder", None) is None:
-            trainable = nnx.Param
-        else:
-            trainable = nnx.All(nnx.Param, nnx.Not(nnx.PathContains("context_embedder")))
+        # adapter-only runs: base weights ride frozen in `rest`; otherwise
+        # Params minus frozen submodules (context_embedder / repa_encoder) —
+        # see checkpoint.py::trainable_filter (the checkpoint layout)
+        trainable = trainable_filter(diffuser.denoiser, lora=lora_only,
+                                     train_embedder=train_embedder)
         graphdef, params, rng_state, rest = nnx.split(modules, trainable, nnx.RngState, ...)
 
         # --- resume (rng streams are runtime-only, never checkpointed) -----

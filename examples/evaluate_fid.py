@@ -133,8 +133,12 @@ def main() -> None:
     # split/seed — cache them (device time dominates on a relayed chip)
     import hashlib
 
+    # key covers BOTH splits' configs: the blob stores train features too,
+    # so a train-only override must miss the cache
     cache_key = hashlib.sha1(
-        repr((sorted(cfg["dataset"]["val"].items()), len(real_val), args.seed)).encode()
+        repr((sorted(cfg["dataset"]["val"].items()),
+              sorted(cfg["dataset"]["train"].items()),
+              len(real_val), args.seed)).encode()
     ).hexdigest()[:16]
     cache_path = Path("data") / "fid_cache" / f"{cache_key}.npz"
     if cache_path.exists():

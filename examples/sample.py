@@ -61,6 +61,13 @@ def main() -> None:
     denoiser = instantiate(cfg["model"], rngs=nnx.Rngs(args.seed))
     from diffulab_tpu.training.losses.build import build_extra_losses
 
+    # latent-diffusion configs carry a vision_tower group; sampling in latent
+    # space then decoding through the tower is the user path the training
+    # CLIs use (train_grpo.py:90-132)
+    vision_tower = None
+    if cfg.get("vision_tower"):
+        vision_tower = instantiate(cfg["vision_tower"], rngs=nnx.Rngs(args.seed))
+
     diffuser = Diffuser(
         denoiser=denoiser,
         model_type=cfg["diffuser"]["model_type"],
@@ -68,6 +75,7 @@ def main() -> None:
         sampling_method=args.sampler or cfg["diffuser"]["sampling_method"],
         extra_args=cfg["diffuser"].get("extra_args", {}),
         extra_losses=build_extra_losses(cfg, seed=args.seed),
+        vision_tower=vision_tower,
     )
     if args.steps:
         diffuser.set_steps(args.steps)
@@ -88,6 +96,9 @@ def main() -> None:
 
     size = args.image_size or ds_cfg.get("image_size", 32)
     channels = cfg["model"].get("input_channels", cfg["model"].get("in_channels", 3))
+    if vision_tower is not None:
+        # the denoiser runs on the latent grid; generate() decodes to pixels
+        size //= vision_tower.compression_factor
 
     cond: dict[str, jnp.ndarray] = {}
     n_classes = cfg["model"].get("n_classes")

@@ -20,7 +20,6 @@ from flax import nnx
 from diffulab_tpu.config import compose_config, instantiate
 from diffulab_tpu.data.loader import DataLoader
 from diffulab_tpu.diffuse import Diffuser
-from diffulab_tpu.training.losses.repa import RepaLoss
 from diffulab_tpu.training.trainer import BaseTrainer
 
 CONFIG_DIR = Path(__file__).parent.parent / "configs"
@@ -44,18 +43,12 @@ def main() -> None:
     from diffulab_tpu.config.instantiate import model_dtype_kwargs
     denoiser = instantiate(cfg["model"], rngs=rngs, **model_dtype_kwargs(cfg["trainer"]))
 
-    resampler_cfg = cfg.get("perceiver_resampler", {})
-    repa_cfg = cfg.get("repa", {})
-    repa_loss = RepaLoss(
-        denoiser_dimension=cfg["model"]["inner_dim"],
-        alignment_layer=repa_cfg.get("alignment_layer", 8),
-        embedding_dim=repa_cfg.get("embedding_dim", 1024),  # precomputed DINOv2-L feature dim
-        load_dino=False,
-        use_resampler=resampler_cfg.get("use_resampler", False),
-        resampler_params=resampler_cfg.get("parameters"),
-        coeff=0.5,
-        rngs=rngs,
-    )
+    # precomputed-features RepaLoss (embedding_dim defaults to 1024, the
+    # DINOv2-L dim) — built through the shared constructor so eval CLIs
+    # reconstruct the exact same checkpoint structure
+    from diffulab_tpu.training.losses.build import build_extra_losses
+
+    extra_losses = build_extra_losses(cfg, rngs=rngs)
     vision_tower = instantiate(cfg["vision_tower"], rngs=rngs)
 
     train_dataset.set_latent_scale(vision_tower.latent_scale)
@@ -73,7 +66,7 @@ def main() -> None:
         sampling_method=cfg["diffuser"]["sampling_method"],
         vision_tower=vision_tower,
         extra_args=cfg["diffuser"].get("extra_args", {}),
-        extra_losses=[repa_loss],
+        extra_losses=extra_losses,
     )
     optimizer = instantiate(cfg["optimizer"])
 

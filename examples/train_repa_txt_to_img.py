@@ -21,7 +21,6 @@ from diffulab_tpu.config import compose_config, instantiate
 from diffulab_tpu.data.imagenet import MultiARBatchSampler, collate_fn
 from diffulab_tpu.data.loader import DataLoader
 from diffulab_tpu.diffuse import Diffuser
-from diffulab_tpu.training.losses.repa import RepaLoss
 from diffulab_tpu.training.trainer import BaseTrainer
 
 CONFIG_DIR = Path(__file__).parent.parent / "configs"
@@ -47,18 +46,11 @@ def main() -> None:
     denoiser = instantiate(cfg["model"], context_embedder=embedder, rngs=rngs,
                            **model_dtype_kwargs(cfg["trainer"]))
 
-    resampler_cfg = cfg.get("perceiver_resampler", {})
-    repa_cfg = cfg.get("repa", {})
-    repa_loss = RepaLoss(
-        denoiser_dimension=cfg["model"]["inner_dim"],
-        alignment_layer=repa_cfg.get("alignment_layer", 8),
-        embedding_dim=repa_cfg.get("embedding_dim", 384),
-        load_dino=False,
-        use_resampler=resampler_cfg.get("use_resampler", False),
-        resampler_params=resampler_cfg.get("parameters"),
-        coeff=0.5,
-        rngs=rngs,
-    )
+    # precomputed-features RepaLoss via the shared constructor (the
+    # config pins repa.embedding_dim; eval CLIs rebuild identically)
+    from diffulab_tpu.training.losses.build import build_extra_losses
+
+    extra_losses = build_extra_losses(cfg, rngs=rngs)
     vision_tower = instantiate(cfg["vision_tower"], rngs=rngs)
 
     for ds in (train_dataset, val_dataset):
@@ -83,7 +75,7 @@ def main() -> None:
         sampling_method=cfg["diffuser"]["sampling_method"],
         vision_tower=vision_tower,
         extra_args=cfg["diffuser"].get("extra_args", {}),
-        extra_losses=[repa_loss],
+        extra_losses=extra_losses,
     )
     optimizer = instantiate(cfg["optimizer"])
 
