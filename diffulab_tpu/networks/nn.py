@@ -46,19 +46,26 @@ def stable_dtype(dtype):
     return dtype
 
 
+#: opt-in switch for fp32 matmul emission under a half compute dtype.
+#: Measured on the v5e chip (BASELINE.md round 3): emitting fp32 from every
+#: Linear bought ~0 FID on the bf16 EDM recipe (22.0 vs 22.9; fp32 is 4.24)
+#: while costing 25-36% train-step throughput and OOMing the batch-256 step
+#: (fp32 activation temps double the working set). Default OFF; flip for
+#: precision experiments only.
+ACCUM_FP32 = False
+
+
 def accum_dtype_kwargs(dtype) -> dict:
-    """Matmul/conv constructor kwargs that keep the MXU's fp32 accumulator:
+    """Matmul constructor kwargs that keep the MXU's fp32 accumulator:
     under a half compute dtype, emit fp32 outputs (``preferred_element_type``)
     instead of rounding the accumulated result back to bf16.
 
-    This is the second half of the mixed-precision policy (see
-    ``stable_dtype``): matmul INPUTS are bf16 (full MXU throughput — TPU
-    matmul precision DEFAULT truncates any fp32 operand to bf16 anyway, so
-    backward dots stay fast), but activations and weight GRADIENTS come out of
-    the fp32 accumulator un-rounded. Measured: output-rounding noise in
-    training was the dominant bf16 quality cost on the EDM recipe.
+    Gated by ``ACCUM_FP32`` (default off — see the measurement note above):
+    matmul INPUTS stay bf16 either way (TPU matmul precision DEFAULT
+    truncates fp32 operands to bf16, so this only changes output rounding).
     """
-    if dtype is not None and jnp.issubdtype(dtype, jnp.floating) and jnp.finfo(dtype).bits < 32:
+    if (ACCUM_FP32 and dtype is not None and jnp.issubdtype(dtype, jnp.floating)
+            and jnp.finfo(dtype).bits < 32):
         return {"preferred_element_type": jnp.float32}
     return {}
 

@@ -152,6 +152,7 @@ def main() -> None:
         async_checkpointing=trainer_cfg.get("async_checkpointing", True),
         timestep_fraction=grpo_cfg.get("timestep_fraction", 0.6),
         kl_beta=grpo_cfg.get("kl_beta", 0.0),
+        eps=grpo_cfg.get("eps", 0.1),
         mini_batch_size=grpo_cfg.get("mini_batch_size"),
         offload_trajectories=grpo_cfg.get("offload_trajectories", True),
     )
