@@ -281,7 +281,17 @@ class GaussianDiffusion:
             drop = jnp.concatenate([jnp.zeros((batch,), bool), jnp.ones((batch,), bool)])
             out = model_fn(x=x2, timesteps=t2, cond=cond2, drop=drop)["x"]
             pred_cond, pred_uncond = jnp.split(out, 2, axis=0)
-            prediction = pred_uncond + guidance_scale * (pred_cond - pred_uncond)
+            if self.sampler.var_type in ("learned", "learned_range"):
+                # guide the mean head only; extrapolating the log-variance
+                # interpolant past the conditional value inflates per-step
+                # noise (guided-diffusion CFG guides eps and keeps the
+                # conditional variance)
+                head_c, var_c = jnp.split(pred_cond, 2, axis=-1)
+                head_u, _ = jnp.split(pred_uncond, 2, axis=-1)
+                head = head_u + guidance_scale * (head_c - head_u)
+                prediction = jnp.concatenate([head, var_c], axis=-1)
+            else:
+                prediction = pred_uncond + guidance_scale * (pred_cond - pred_uncond)
         else:
             drop = jnp.zeros((batch,), dtype=bool)
             prediction = model_fn(x=x, timesteps=model_timesteps, cond=cond, drop=drop)["x"]
