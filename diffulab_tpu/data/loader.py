@@ -60,6 +60,14 @@ class DataLoader:
         self._process_index = process_index
         self._process_count = process_count
 
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the shuffle epoch (torch DistributedSampler convention): a
+        resumed run calls this with the 0-based trainer epoch so epoch N
+        replays epoch N's order instead of restarting the counter at 0.
+        ``__iter__`` pre-increments, so the next iteration shuffles with
+        ``seed + epoch + 1`` — exactly what an uninterrupted run used."""
+        self._epoch = epoch
+
     @property
     def process_count(self) -> int:
         if self._process_count is not None:

@@ -319,6 +319,8 @@ class GRPOTrainer(Trainer):
         logger.info("Begin GRPO training")
 
         for epoch in range(epoch_start, self.n_epoch):
+            if hasattr(train_dataloader, "set_epoch"):
+                train_dataloader.set_epoch(epoch)
             for bi, batch in enumerate(train_dataloader):
                 params, opt_state, ema_params, step = self._run_batch(
                     batch, sample_fns, reward_model, params, rng_state, rest,

@@ -418,10 +418,26 @@ class BaseTrainer(Trainer):
         best_val_loss = float("inf")
         tracker_meter = AverageMeter()
         rng = jax.random.key(seed)
+        if epoch_start and steps_per_epoch is None:
+            # resume must continue the raw step counter: it drives the EMA
+            # decay ramp and the per-step rng folding. Leaving it at 0 resets
+            # the EMA warmup, silently turning the restored EMA into a
+            # near-copy of the live weights (measured: a resumed EDM run
+            # scored FID 4.24 vs 15.2 for the same recipe uninterrupted —
+            # an accidental EMA-horizon experiment, BASELINE.md round 3).
+            try:
+                steps_per_epoch = len(train_dataloader)  # type: ignore[arg-type]
+            except TypeError as e:
+                raise ValueError(
+                    "epoch_start > 0 requires steps_per_epoch when the "
+                    "dataloader has no len()"
+                ) from e
         step = epoch_start * (steps_per_epoch or 0) * self.gradient_accumulation_step
 
         logger.info("Begin training")
         for epoch in range(epoch_start, self.n_epoch):
+            if hasattr(train_dataloader, "set_epoch"):
+                train_dataloader.set_epoch(epoch)
             # --- train epoch ---------------------------------------------
             # losses accumulate ON DEVICE (async); one host transfer per epoch
             # (a per-step float() would round-trip the host every step)

@@ -99,3 +99,52 @@ def test_resume_from_checkpoint(tmp_path):
         log_validation_images=False,
     )
     assert (tmp_path / "ckpt2" / "checkpoints" / "denoiser").exists()
+
+
+def test_resume_continues_ema_ramp(tmp_path):
+    """Resume must continue the raw step counter: a 1+1-epoch resumed run's
+    EMA equals the 2-epoch uninterrupted run's EMA. With the counter reset
+    to 0, the EMA warmup restarts and the restored EMA silently becomes a
+    near-copy of the live weights (measured as a phantom 3.5x FID win on
+    resumed recipes — BASELINE.md round 3)."""
+    from diffulab_tpu.training.checkpoint import restore_checkpoint
+
+    ds = SyntheticDataset(n=32)
+    val_ds = SyntheticDataset(n=16, seed=1)
+
+    def loaders():
+        # shuffle=True also covers set_epoch: the trainer pins the loader's
+        # shuffle epoch so the resumed epoch replays the same batch order an
+        # uninterrupted run would have used
+        return (DataLoader(ds, batch_size=16, shuffle=True, prefetch=0),
+                DataLoader(val_ds, batch_size=16, shuffle=False, prefetch=0))
+
+    kw = dict(use_ema=True, ema_update_after_step=0, ema_update_every=1, ema_rate=0.9)
+
+    train_dl, val_dl = loaders()
+    straight = BaseTrainer(n_epoch=2, save_path=tmp_path, project_name="straight", **kw)
+    straight.train(_tiny_diffuser(), adamw(lr=1e-3), train_dl, val_dl,
+                   log_validation_images=False, seed=0)
+
+    train_dl, val_dl = loaders()
+    part1 = BaseTrainer(n_epoch=1, save_path=tmp_path, project_name="part1", **kw)
+    part1.train(_tiny_diffuser(), adamw(lr=1e-3), train_dl, val_dl,
+                log_validation_images=False, seed=0)
+
+    ckpt = tmp_path / "part1" / "checkpoints"
+    train_dl, val_dl = loaders()
+    part2 = BaseTrainer(n_epoch=2, save_path=tmp_path, project_name="part2", **kw)
+    part2.train(_tiny_diffuser(), adamw(lr=1e-3), train_dl, val_dl,
+                denoiser_ckpt=str(ckpt / "denoiser"),
+                optimizer_ckpt=str(ckpt / "optimizer"),
+                ema_ckpt=str(ckpt / "ema"),
+                epoch_start=1,
+                log_validation_images=False, seed=0)
+
+    ema_a = restore_checkpoint(tmp_path / "straight" / "checkpoints" / "ema")
+    ema_b = restore_checkpoint(tmp_path / "part2" / "checkpoints" / "ema")
+    leaves_a = jax.tree.leaves(ema_a)
+    leaves_b = jax.tree.leaves(ema_b)
+    assert len(leaves_a) == len(leaves_b)
+    for a, b in zip(leaves_a, leaves_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
