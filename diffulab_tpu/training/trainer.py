@@ -79,6 +79,8 @@ class Trainer:
         ema_rate: float = 0.999,
         ema_update_after_step: int = 0,
         ema_update_every: int = 10,
+        ema_inv_gamma: float = 1.0,
+        ema_power: float = 2.0 / 3.0,
         mesh: MeshConfig | dict[str, int] | None = None,
         compile: bool = True,  # noqa: A002 - parity with the reference flag; jit is always on
         log_every_n_steps: int | None = None,
@@ -90,10 +92,17 @@ class Trainer:
         self.gradient_accumulation_step = gradient_accumulation_step
         self.precision_type = precision_type
         self.use_ema = use_ema
+        # beta/ramp are MEASURED first-order quality levers at short budgets:
+        # the default ema-pytorch ramp makes the EMA horizon span an entire
+        # ~1k-step recipe, costing ~6-7x FID vs a fresh short-horizon average
+        # (BASELINE.md round 3, "EMA-horizon artifact"). Tune ema_rate to the
+        # run length.
         self.ema_config = EMAConfig(
             beta=ema_rate,
             update_after_step=ema_update_after_step * gradient_accumulation_step,
             update_every=ema_update_every * gradient_accumulation_step,
+            inv_gamma=ema_inv_gamma,
+            power=ema_power,
         )
         if save_path is None:
             save_path = Path.home() / "experiments" / datetime.now().strftime("%Y%m%d_%H%M%S")

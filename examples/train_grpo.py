@@ -146,6 +146,8 @@ def main() -> None:
         ema_rate=trainer_cfg.get("ema_rate", 0.9999),
         ema_update_after_step=trainer_cfg.get("ema_update_after_step", 0),
         ema_update_every=trainer_cfg.get("ema_update_every", 1),
+        ema_inv_gamma=trainer_cfg.get("ema_inv_gamma", 1.0),
+        ema_power=trainer_cfg.get("ema_power", 2.0 / 3.0),
         run_config=cfg,
         mesh=trainer_cfg.get("mesh"),
         init_kwargs={"wandb": trainer_cfg.get("wandb", {})},
