@@ -144,10 +144,12 @@ def restore_train_modules(
     match. The single shared implementation for evaluate_fid / sample /
     reflow / LoRA-base restores.
 
-    ``ema`` checkpoints store only ``{"params": ...}``; others store
-    ``{"params": ..., "rest": ...}``. Checkpoints written before the live
-    REPA encoder was excluded from the trainable split (it used to ride in
-    ``params``) restore through a legacy-layout fallback.
+    ``ema`` checkpoints — and post-hoc EMA reconstructions written by
+    ``examples/reconstruct_ema.py`` (``phema_sr*`` dirs) — store only
+    ``{"params": ...}``; others store ``{"params": ..., "rest": ...}``.
+    Checkpoints written before the live REPA encoder was excluded from the
+    trainable split (it used to ride in ``params``) restore through a
+    legacy-layout fallback.
     """
     from flax import nnx
 
@@ -157,10 +159,11 @@ def restore_train_modules(
         filters.append(trainable_filter(modules.denoiser, train_embedder=train_embedder,
                                         freeze_repa_encoder=False))
     path = Path(path)
+    params_only = path.name == "ema" or path.name.startswith("phema")
     for i, trainable in enumerate(filters):
         _, params, _, rest = nnx.split(modules, trainable, nnx.RngState, ...)
         try:
-            if path.name == "ema":
+            if params_only:
                 params = restore_checkpoint(path, {"params": params})["params"]
                 nnx.update(modules, params)
             else:

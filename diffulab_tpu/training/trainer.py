@@ -47,6 +47,13 @@ from diffulab_tpu.training.checkpoint import (
     trainable_filter,
 )
 from diffulab_tpu.training.ema import EMAConfig, ema_update
+from diffulab_tpu.training.posthoc_ema import (
+    DEFAULT_GAMMAS,
+    cast_tree_f16,
+    list_snapshots,
+    power_ema_update,
+    snapshot_dir,
+)
 from diffulab_tpu.training.logging import Tracker
 from diffulab_tpu.training.meters import AverageMeter
 
@@ -85,6 +92,8 @@ class Trainer:
         compile: bool = True,  # noqa: A002 - parity with the reference flag; jit is always on
         log_every_n_steps: int | None = None,
         async_checkpointing: bool = True,
+        posthoc_ema: bool = False,
+        posthoc_ema_gammas: tuple[float, ...] = DEFAULT_GAMMAS,
     ):
         del compile  # everything is jit-compiled; flag kept for config parity
         self.n_epoch = n_epoch
@@ -104,6 +113,12 @@ class Trainer:
             inv_gamma=ema_inv_gamma,
             power=ema_power,
         )
+        # post-hoc EMA (training/posthoc_ema.py): two extra power-function
+        # averages updated in-step and snapshotted (fp16) every epoch, so the
+        # EMA horizon — the measured 6-7x quality lever — is selected OFFLINE
+        # by examples/reconstruct_ema.py instead of baked into the run.
+        self.posthoc_ema = posthoc_ema
+        self.posthoc_ema_gammas = tuple(posthoc_ema_gammas)
         if save_path is None:
             save_path = Path.home() / "experiments" / datetime.now().strftime("%Y%m%d_%H%M%S")
         self.save_path = Path(save_path) / project_name
@@ -140,6 +155,26 @@ class Trainer:
         """Join the in-flight background save (re-raising write errors)."""
         if self._async_ckptr is not None:
             self._async_ckptr.wait()
+
+    def _init_phema(self, params, param_sh, phema_base: Path, epoch_start: int):
+        """Fresh power-EMA tracks (fp32 copies of the online params), or —
+        when resuming — the stored fp16 snapshots closest to the resume
+        point (best-effort: the fp16 roundtrip costs <1e-3 relative, far
+        under the width of any profile being reconstructed)."""
+        tracks = []
+        snaps = list_snapshots(phema_base) if epoch_start else []
+        for gamma in self.posthoc_ema_gammas:
+            candidates = [(s, p) for s, g, p in snaps if abs(g - gamma) < 1e-6]
+            if candidates:
+                _, path = max(candidates)
+                tree = restore_checkpoint(path)["params"]
+                tree = jax.tree.map(
+                    lambda saved, p: jnp.asarray(saved, jnp.float32), tree, params
+                )
+                tracks.append(jax.tree.map(jax.device_put, tree, param_sh))
+            else:
+                tracks.append(jax.tree.map(jnp.copy, params))
+        return tuple(tracks)
 
 
 class BaseTrainer(Trainer):
@@ -203,8 +238,10 @@ class BaseTrainer(Trainer):
             total = sum(losses.values())
             return total, losses
 
-        @partial(jax.jit, donate_argnums=(0, 3, 4))
-        def train_step(params, rng_state, rest, opt_state, ema_params, batch, rng, step):
+        phema_gammas = self.posthoc_ema_gammas if self.posthoc_ema else ()
+
+        @partial(jax.jit, donate_argnums=(0, 3, 4, 5))
+        def train_step(params, rng_state, rest, opt_state, ema_params, phema_params, batch, rng, step):
             rng_state = _fold_rng_state(rng_state, step)
             grads_fn = jax.value_and_grad(loss_fn, has_aux=True)
             (_, losses), grads = grads_fn(params, rng_state, rest, batch, rng)
@@ -212,7 +249,12 @@ class BaseTrainer(Trainer):
             params = optax.apply_updates(params, updates)
             if use_ema:
                 ema_params = ema_update(ema_config, ema_params, params, step)
-            return params, opt_state, ema_params, losses
+            if phema_gammas:
+                phema_params = tuple(
+                    power_ema_update(tree, params, step, gamma)
+                    for tree, gamma in zip(phema_params, phema_gammas)
+                )
+            return params, opt_state, ema_params, phema_params, losses
 
         def eval_loss_fn(params, rng_state, rest, batch, rng):
             modules = nnx.merge(graphdef, params, rng_state, rest)
@@ -420,6 +462,11 @@ class BaseTrainer(Trainer):
             else:
                 ema_params = jax.tree.map(jnp.copy, params)  # distinct buffers (donation-safe)
 
+        phema_params = None
+        phema_base = self.save_path / "checkpoints" / "phema"
+        if self.posthoc_ema:
+            phema_params = self._init_phema(params, param_sh, phema_base, epoch_start)
+
         train_step, eval_step = self._build_step_fns(
             diffuser, graphdef, rest, optimizer, p_classifier_free_guidance
         )
@@ -456,8 +503,8 @@ class BaseTrainer(Trainer):
                 batch = self._prepare_batch(self._host_embed(batch, diffuser))
                 step += 1
                 step_rng = jax.random.fold_in(rng, step)
-                params, opt_state, ema_params, losses = train_step(
-                    params, rng_state, rest, opt_state, ema_params, batch, step_rng, step
+                params, opt_state, ema_params, phema_params, losses = train_step(
+                    params, rng_state, rest, opt_state, ema_params, phema_params, batch, step_rng, step
                 )
                 n_steps_epoch += 1
                 for key, loss in losses.items():
@@ -476,6 +523,19 @@ class BaseTrainer(Trainer):
                 if key.startswith("train/"):
                     self.tracker.log({key: value, "epoch": epoch + 1}, step=step)
             tracker_meter.reset()
+
+            # post-hoc EMA snapshots go out EVERY epoch (the reconstruction
+            # basis must cover the whole trajectory, unlike best-val ckpts)
+            if phema_params is not None:
+                entries = {
+                    snapshot_dir(phema_base, step, gamma): {"params": cast_tree_f16(tree)}
+                    for gamma, tree in zip(self.posthoc_ema_gammas, phema_params)
+                }
+                if self._async_ckptr is not None:
+                    self._async_ckptr.save(entries)
+                else:
+                    for path, payload in entries.items():
+                        save_checkpoint(path, payload)
 
             # --- validation ------------------------------------------------
             if val_dataloader is not None:
