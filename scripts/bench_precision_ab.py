@@ -1,28 +1,39 @@
-"""Interleaved step-time A/B: bf16 mixed-precision policy vs fp32 on the
-bench.py DiT-B/2 shapes (BASELINE.md house rule: A/B only via interleaved
-min-of-N inside one process). Records the step-time cost of the round-3
-mixed-precision policy; the old all-bf16 reference is BENCH_r02's 591.7
-samples/s (same harness, pre-policy code)."""
+"""Step-time A/B: bf16 mixed-precision policy vs fp32 on the bench.py
+DiT-B/2 shapes. Records the step-time cost of the round-3 mixed-precision
+policy; the old all-bf16 reference is BENCH_r02's 591.7 samples/s (same
+harness, pre-policy code).
 
+A/B protocol on the relay chip (BASELINE.md house rule): single-run
+timings swing +-40%, so variants must alternate within one measurement
+window. In-process interleaving OOMs the relay (two DiT-B variants +
+executables resident exhausted it twice, queues 11-12), so each timing
+round runs in its OWN subprocess (one variant resident at a time) and the
+rounds alternate A,B,A,B,... — both variants still sample every
+thermal/relay phase; min-of-rounds per variant is reported.
+"""
+
+import subprocess
 import sys
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
-import jax
-import jax.numpy as jnp
-import optax
-from flax import nnx
-
-from diffulab_tpu.diffuse import Diffuser
-from diffulab_tpu.networks.denoisers.mmdit import MMDiT
-
 BATCH = 64
 LATENT = (32, 32, 4)
+ROUNDS = 4
 
 
-def build(dtype):
+def run_variant(name: str) -> None:
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from flax import nnx
+
+    from diffulab_tpu.diffuse import Diffuser
+    from diffulab_tpu.networks.denoisers.mmdit import MMDiT
+
+    dtype = {"bf16_policy": jnp.bfloat16, "fp32": None}[name]
     model = MMDiT(
         simple_dit=True, input_channels=4, inner_dim=768, embedding_dim=768,
         num_heads=12, mlp_ratio=4, patch_size=2, depth=12, n_classes=1000,
@@ -30,15 +41,11 @@ def build(dtype):
     )
     diffuser = Diffuser(model, sampling_method="euler", model_type="rectified_flow",
                         n_steps=50, extra_args={"logits_normal": True})
-    return model, diffuser
-
-
-def make_step(model, diffuser, in_dtype):
     diffusion = diffuser.diffusion
     optimizer = optax.adamw(1e-4)
     graphdef, params, rest = nnx.split(model, nnx.Param, ...)
     opt_state = optimizer.init(params)
-    x0 = jnp.zeros((BATCH, *LATENT), in_dtype)
+    x0 = jnp.zeros((BATCH, *LATENT), jnp.float32)
     y = jnp.zeros((BATCH,), jnp.int32)
 
     @jax.jit
@@ -57,42 +64,39 @@ def make_step(model, diffuser, in_dtype):
         updates, opt_state = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    return train_step, params, opt_state
-
-
-def time_chain(step, params, opt_state, n):
+    params, opt_state, loss = train_step(params, opt_state, jax.random.key(0))
+    float(loss)  # compile + host fence through the relay
     rng = jax.random.key(0)
+    n = 10
     t0 = time.perf_counter()
     for i in range(n):
-        params, opt_state, loss = step(params, opt_state, jax.random.fold_in(rng, i))
-    float(loss)  # host fence through the relay
-    return (time.perf_counter() - t0) / n, params, opt_state
+        params, opt_state, loss = train_step(params, opt_state, jax.random.fold_in(rng, i))
+    float(loss)
+    dt = (time.perf_counter() - t0) / n
+    print(f"VARIANT {name}: {dt * 1e3:.2f} ms/step = {BATCH / dt:.1f} samples/s", flush=True)
 
 
-def main():
-    # Two DiT-B variants + opt states resident together exhaust the relay
-    # chip's memory, so interleave at build granularity instead: build one
-    # variant, time it, free it, build the other — alternating rounds keeps
-    # the A/B property (both variants sample every thermal/relay phase)
-    # while only one variant is ever resident. jit's executable cache makes
-    # the rebuilds cheap after the first round.
-    import gc
-
-    specs = {"bf16_policy": jnp.bfloat16, "fp32": None}
-    best = {name: float("inf") for name in specs}
-    for round_i in range(4):
-        for name, dtype in specs.items():
-            model, diffuser = build(dtype)
-            step, params, opt_state = make_step(model, diffuser, jnp.float32)
-            params, opt_state, loss = step(params, opt_state, jax.random.key(0))
-            float(loss)  # compile + fence
-            dt, params, opt_state = time_chain(step, params, opt_state, 10)
-            best[name] = min(best[name], dt)
-            print(f"round {round_i} {name}: {dt*1e3:.1f} ms", flush=True)
-            del model, diffuser, step, params, opt_state, loss
-            gc.collect()
-    for name, dt in best.items():
-        print(f"BEST {name}: {dt*1e3:.2f} ms/step = {BATCH/dt:.1f} samples/s")
+def main() -> None:
+    if len(sys.argv) > 1:
+        run_variant(sys.argv[1])
+        return
+    best: dict[str, float] = {}
+    for round_i in range(ROUNDS):
+        for name in ("bf16_policy", "fp32"):
+            out = subprocess.run(
+                [sys.executable, __file__, name],
+                capture_output=True, text=True, timeout=1200,
+                cwd=Path(__file__).parent.parent,
+            )
+            line = next((l for l in out.stdout.splitlines() if l.startswith("VARIANT")), None)
+            if line is None:
+                print(f"round {round_i} {name}: FAILED\n{out.stderr[-2000:]}", flush=True)
+                continue
+            ms = float(line.split(":")[1].split("ms")[0])
+            best[name] = min(best.get(name, float("inf")), ms)
+            print(f"round {round_i} {line}", flush=True)
+    for name, ms in best.items():
+        print(f"BEST {name}: {ms:.2f} ms/step = {BATCH / (ms / 1e3):.1f} samples/s")
 
 
 if __name__ == "__main__":
