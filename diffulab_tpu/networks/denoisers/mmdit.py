@@ -439,6 +439,7 @@ class MMDiT(Denoiser):
         pipeline_microbatches: int | None = None,
         attention_dtype: Any = None,
         mlp_dtype: Any = None,
+        stream_dtype: Any = None,
         *,
         rngs: nnx.Rngs,
         dtype=None,
@@ -448,6 +449,7 @@ class MMDiT(Denoiser):
         # bisection ("float32" string accepted from YAML configs)
         attention_dtype = jnp.dtype(attention_dtype) if isinstance(attention_dtype, str) else attention_dtype
         mlp_dtype = jnp.dtype(mlp_dtype) if isinstance(mlp_dtype, str) else mlp_dtype
+        stream_dtype = jnp.dtype(stream_dtype) if isinstance(stream_dtype, str) else stream_dtype
         assert not (n_classes is not None and context_embedder is not None), (
             "n_classes and context_embedder cannot both be specified"
         )
@@ -476,8 +478,11 @@ class MMDiT(Denoiser):
         # when dtype is already full precision); each block's matmuls cast
         # their inputs down to `dtype`, and the branch output promotes back at
         # the residual add — bf16 MXU throughput with fp32 accumulation, the
-        # torch-autocast semantics the reference trains under
-        self.stream_dtype = stable_dtype(dtype)
+        # torch-autocast semantics the reference trains under. Overridable
+        # (stream_dtype="bfloat16") to carry the stream at the compute dtype —
+        # the fp32 stream's HBM cost vs its quality contribution is measured
+        # separately from the conditioning path (BASELINE.md round 3).
+        self.stream_dtype = stream_dtype if stream_dtype is not None else stable_dtype(dtype)
 
         kw = dict(rngs=rngs, dtype=dtype, param_dtype=param_dtype)
         heads_dim = inner_dim // num_heads

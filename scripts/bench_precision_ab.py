@@ -33,11 +33,15 @@ def run_variant(name: str) -> None:
     from diffulab_tpu.diffuse import Diffuser
     from diffulab_tpu.networks.denoisers.mmdit import MMDiT
 
-    dtype = {"bf16_policy": jnp.bfloat16, "fp32": None}[name]
+    dtype, stream = {
+        "bf16_policy": (jnp.bfloat16, None),          # fp32 residual stream (default)
+        "bf16_stream_bf16": (jnp.bfloat16, "bfloat16"),  # round-2 all-bf16 stream
+        "fp32": (None, None),
+    }[name]
     model = MMDiT(
         simple_dit=True, input_channels=4, inner_dim=768, embedding_dim=768,
         num_heads=12, mlp_ratio=4, patch_size=2, depth=12, n_classes=1000,
-        classifier_free=True, dtype=dtype, rngs=nnx.Rngs(0),
+        classifier_free=True, dtype=dtype, stream_dtype=stream, rngs=nnx.Rngs(0),
     )
     diffuser = Diffuser(model, sampling_method="euler", model_type="rectified_flow",
                         n_steps=50, extra_args={"logits_normal": True})
@@ -82,7 +86,7 @@ def main() -> None:
         return
     best: dict[str, float] = {}
     for round_i in range(ROUNDS):
-        for name in ("bf16_policy", "fp32"):
+        for name in ("bf16_policy", "bf16_stream_bf16", "fp32"):
             out = subprocess.run(
                 [sys.executable, __file__, name],
                 capture_output=True, text=True, timeout=1200,
