@@ -127,15 +127,19 @@ def test_repa_end_to_end_training(tmp_path):
     diffuser = Diffuser(model, sampling_method="euler", model_type="rectified_flow",
                         n_steps=4, extra_losses=[repa])
     dl = DataLoader(DS(), batch_size=8, prefetch=0)
-    trainer = BaseTrainer(n_epoch=2, save_path=tmp_path, project_name="repa_smoke", use_ema=False)
-    trainer.train(diffuser, adamw(lr=1e-3), dl, val_dataloader=dl,
+    # 6 epochs at lr 3e-3: the dst features are random noise, so alignment is
+    # pure memorization — a 2-epoch margin was so thin that a change in
+    # shuffle order flipped it (the resume-fidelity set_epoch fix did exactly
+    # that); a longer run makes the decrease robust to data order
+    trainer = BaseTrainer(n_epoch=6, save_path=tmp_path, project_name="repa_smoke", use_ema=False)
+    trainer.train(diffuser, adamw(lr=3e-3), dl, val_dataloader=dl,
                   log_validation_images=False)
 
     import json
 
     rows = [json.loads(line) for line in (tmp_path / "repa_smoke" / "metrics.jsonl").read_text().splitlines()]
     repa_losses = [r["train/RepaLoss"] for r in rows if "train/RepaLoss" in r]
-    assert len(repa_losses) == 2
+    assert len(repa_losses) == 6
     assert all(np.isfinite(v) for v in repa_losses)
     # projection MLP should be learning to align -> loss decreases
     assert repa_losses[-1] < repa_losses[0]
