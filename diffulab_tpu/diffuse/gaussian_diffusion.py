@@ -68,12 +68,21 @@ class GaussianDiffusion:
     #   "xstart":  the clean sample x0
     #   "v":       alpha*eps - sigma*x0 (Salimans & Ho progressive-distillation)
     prediction_type: str = "epsilon"
+    # Per-timestep loss weighting. "min_snr" (Hang et al., arXiv:2303.09556)
+    # clamps each timestep's effective x0-weight to min(SNR, gamma): the
+    # low-noise steps (huge SNR) stop dominating the epsilon objective, which
+    # is the standard convergence fix for short-budget DDPM training (the
+    # reference trains plain epsilon-MSE, gaussian_diffusion.py:268-311).
+    loss_weighting: str = "none"
+    min_snr_gamma: float = 5.0
 
     def __post_init__(self):
         if self.sampling_method not in SAMPLER_REGISTRY:
             raise ValueError(f"sampling method must be one of {list(SAMPLER_REGISTRY)}")
         if self.prediction_type not in ("epsilon", "xstart", "v"):
             raise ValueError("prediction_type must be 'epsilon', 'xstart', or 'v'")
+        if self.loss_weighting not in ("none", "min_snr"):
+            raise ValueError("loss_weighting must be 'none' or 'min_snr'")
         if (
             self.prediction_type != "epsilon"
             and self.sampler_parameters.get("mean_type", "epsilon") != "epsilon"
@@ -193,7 +202,23 @@ class GaussianDiffusion:
         else:
             head = out
         target = self._training_target(x0, noise, timesteps, xt)
-        loss = jnp.mean((head - target) ** 2)
+        if self.loss_weighting == "min_snr":
+            # per-sample MSE reweighted so each timestep contributes at most
+            # an x0-equivalent weight of gamma; the factor depends on what the
+            # head predicts (table 1 of the min-SNR paper):
+            #   epsilon: min(SNR, gamma)/SNR   x0: min(SNR, gamma)
+            #   v:       min(SNR, gamma)/(SNR + 1)
+            ab = jnp.asarray(self.alphas_bar, jnp.float32)[timesteps]
+            snr = ab / (1.0 - ab)
+            w = {
+                "epsilon": jnp.minimum(snr, self.min_snr_gamma) / snr,
+                "xstart": jnp.minimum(snr, self.min_snr_gamma),
+                "v": jnp.minimum(snr, self.min_snr_gamma) / (snr + 1.0),
+            }[self.prediction_type]
+            mse = jnp.mean((head - target) ** 2, axis=tuple(range(1, head.ndim)))
+            loss = jnp.mean(w * mse)
+        else:
+            loss = jnp.mean((head - target) ** 2)
         loss_dict = {"loss": loss}
 
         if learned_var:

@@ -178,6 +178,32 @@ def test_learned_variance_hybrid_training_loss():
     assert abs(float(losses_hi["vlb"]) - float(losses["vlb"])) > 1e-8
 
 
+def test_min_snr_loss_weighting():
+    """min-SNR-gamma (arXiv:2303.09556): per-sample MSE scaled by the table-1
+    factor for each prediction head; equals plain MSE where SNR <= gamma."""
+    gd = GaussianDiffusion(n_steps=100, loss_weighting="min_snr", min_snr_gamma=5.0)
+    x0 = jax.random.normal(jax.random.key(0), (4, 4, 4, 1))
+    noise = jax.random.normal(jax.random.key(1), (4, 4, 4, 1))
+    t = jnp.array([0, 10, 50, 99])
+    pred = noise + 0.1  # uniform epsilon error -> per-sample mse identical
+    loss = float(gd.compute_loss(lambda x, timesteps, cond, drop: {"x": pred},
+                                 x0, {}, t, noise)["loss"])
+    ab = gd.alphas_bar[np.asarray(t)]
+    snr = ab / (1 - ab)
+    w = np.minimum(snr, 5.0) / snr  # epsilon-prediction factor
+    expected = float(np.mean(w * 0.1**2))
+    assert abs(loss - expected) < 1e-6
+    # low-noise steps (snr > gamma) are down-weighted; high-noise untouched
+    assert w[0] < 1.0 and w[-1] == 1.0
+
+    # v-prediction factor: min(snr, gamma)/(snr+1)
+    gd_v = GaussianDiffusion(n_steps=100, loss_weighting="min_snr",
+                             prediction_type="v", min_snr_gamma=5.0)
+    loss_v = gd_v.compute_loss(lambda x, timesteps, cond, drop: {"x": pred},
+                               x0, {}, t, noise)["loss"]
+    assert np.isfinite(float(loss_v))
+
+
 def test_fixed_variance_loss_unchanged():
     gd = GaussianDiffusion(n_steps=100)
     rng = jax.random.key(0)
