@@ -113,6 +113,8 @@ def main() -> None:
         mesh=trainer_cfg.get("mesh"),
         log_every_n_steps=trainer_cfg.get("log_every_n_steps"),
         async_checkpointing=trainer_cfg.get("async_checkpointing", True),
+        posthoc_ema=trainer_cfg.get("posthoc_ema", False),
+        posthoc_ema_gammas=tuple(trainer_cfg.get("posthoc_ema_gammas", (6.94, 16.97))),
     )
     # CFG drop stays on only for class-conditional reflow
     p_cfg = trainer_cfg.get("p_classifier_free_guidance", 0.1) if n_classes else 0.0

@@ -98,6 +98,8 @@ def main() -> None:
         init_kwargs={"wandb": trainer_cfg.get("wandb", {})},
         log_every_n_steps=trainer_cfg.get("log_every_n_steps"),
         async_checkpointing=trainer_cfg.get("async_checkpointing", True),
+        posthoc_ema=trainer_cfg.get("posthoc_ema", False),
+        posthoc_ema_gammas=tuple(trainer_cfg.get("posthoc_ema_gammas", (6.94, 16.97))),
     )
     trainer.train(
         diffuser=diffuser,
