@@ -67,7 +67,10 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--config-name", default="train_synthetic_flow_matching")
     parser.add_argument("--config-dir", default=str(CONFIG_DIR))
-    parser.add_argument("--ckpt", required=True, help="orbax denoiser/ema checkpoint dir")
+    parser.add_argument("--ckpt", required=True, nargs="+",
+                        help="orbax denoiser/ema checkpoint dir(s); several dirs "
+                             "share one model build, one sampler compile, and the "
+                             "real-feature cache (e.g. a post-hoc EMA sigma_rel sweep)")
     parser.add_argument("--n-samples", type=int, default=2000)
     parser.add_argument("--batch-size", type=int, default=128)
     parser.add_argument("--steps", type=int, default=None, help="override sampling steps")
@@ -115,7 +118,7 @@ def main() -> None:
         if base_ckpt:
             restore_train_modules(base_ckpt, _TrainModules(denoiser, []))
             print(f"restored LoRA base weights from {base_ckpt}")
-        elif Path(args.ckpt).name == "ema":
+        elif any(Path(c).name == "ema" for c in args.ckpt):
             raise SystemExit(
                 "--ckpt points at a LoRA run's ema dir, which stores only adapter "
                 "params; set trainer.lora_from so the base weights can be restored "
@@ -124,8 +127,6 @@ def main() -> None:
         apply_lora(denoiser, int(lora_rank), rngs=nnx.Rngs(args.seed + 1),
                    variant=cfg["trainer"].get("lora_variant", "lora"))
     modules = _TrainModules(diffuser.denoiser, diffuser.extra_losses)
-    restore_train_modules(args.ckpt, modules, lora=bool(lora_rank))
-    print(f"restored checkpoint from {args.ckpt}")
 
     feature_fn = frozen_vit_features(image_size=real_val.shape[1])
 
@@ -164,29 +165,35 @@ def main() -> None:
     rng = np.random.default_rng(args.seed)
     labels = rng.integers(0, n_classes, size=n).astype(np.int64)
 
-    fakes = []
-    key = jax.random.key(args.seed)
-    t0 = time.perf_counter()
-    for start in range(0, n, args.batch_size):
-        bsz = min(args.batch_size, n - start)
-        cond = {"y": jnp.asarray(labels[start : start + bsz])}
-        out = diffuser.generate(
-            jax.random.fold_in(key, start), cond,
-            data_shape=(bsz, *real_val.shape[1:]),
-            guidance_scale=args.guidance, clamp_x=True,
-        )
-        fakes.append(np.asarray(out["x"], np.float32))
-    fake = np.concatenate(fakes)[:n]
-    dt = time.perf_counter() - t0
-    print(f"sampled {n} images in {dt:.1f}s ({n / dt:.2f} imgs/s)")
+    # several checkpoints share the model build, the jitted sampler (params
+    # are call arguments, so nnx.update swaps weights without recompiling),
+    # and the real-feature cache — a sigma_rel sweep pays compile once
+    for ckpt in args.ckpt:
+        restore_train_modules(ckpt, modules, lora=bool(lora_rank))
+        print(f"restored checkpoint from {ckpt}")
+        fakes = []
+        key = jax.random.key(args.seed)
+        t0 = time.perf_counter()
+        for start in range(0, n, args.batch_size):
+            bsz = min(args.batch_size, n - start)
+            cond = {"y": jnp.asarray(labels[start : start + bsz])}
+            out = diffuser.generate(
+                jax.random.fold_in(key, start), cond,
+                data_shape=(bsz, *real_val.shape[1:]),
+                guidance_scale=args.guidance, clamp_x=True,
+            )
+            fakes.append(np.asarray(out["x"], np.float32))
+        fake = np.concatenate(fakes)[:n]
+        dt = time.perf_counter() - t0
+        print(f"sampled {n} images in {dt:.1f}s ({n / dt:.2f} imgs/s)")
 
-    fake_feats = extract_features(fake, feature_fn, args.batch_size)
-    fid = compute_fid(val_feats[:n] if n < len(val_feats) else val_feats, fake_feats)
-    print(f"FID(val, model samples)   = {fid:.3f}")
-    print(
-        '{"metric": "fid_synthetic", "value": %.3f, "floor": %.3f, "ceiling": %.3f}'
-        % (fid, fid_floor, fid_ceiling)
-    )
+        fake_feats = extract_features(fake, feature_fn, args.batch_size)
+        fid = compute_fid(val_feats[:n] if n < len(val_feats) else val_feats, fake_feats)
+        print(f"FID(val, model samples)   = {fid:.3f}  [{ckpt}]")
+        print(
+            '{"metric": "fid_synthetic", "value": %.3f, "floor": %.3f, "ceiling": %.3f, "ckpt": "%s"}'
+            % (fid, fid_floor, fid_ceiling, ckpt)
+        )
 
 
 if __name__ == "__main__":
