@@ -94,6 +94,7 @@ class Trainer:
         async_checkpointing: bool = True,
         posthoc_ema: bool = False,
         posthoc_ema_gammas: tuple[float, ...] = DEFAULT_GAMMAS,
+        save_every_n_epochs: int | None = None,
     ):
         del compile  # everything is jit-compiled; flag kept for config parity
         self.n_epoch = n_epoch
@@ -119,6 +120,13 @@ class Trainer:
         # by examples/reconstruct_ema.py instead of baked into the run.
         self.posthoc_ema = posthoc_ema
         self.posthoc_ema_gammas = tuple(posthoc_ema_gammas)
+        # preemption recovery: every N epochs write a "latest" artifact set
+        # (checkpoints_latest/) regardless of val improvement; train(...,
+        # auto_resume=True) restores it and continues. Best-val checkpoints
+        # (checkpoints/) are unaffected. On preemptible TPU pods this is the
+        # production story — the reference has only manual resume flags
+        # (base_trainer.py:264-286).
+        self.save_every_n_epochs = save_every_n_epochs
         if save_path is None:
             save_path = Path.home() / "experiments" / datetime.now().strftime("%Y%m%d_%H%M%S")
         self.save_path = Path(save_path) / project_name
@@ -145,6 +153,23 @@ class Trainer:
         if ema_params is not None:
             entries[base / "ema"] = {"params": ema_params}
         entries[base / "scheduler"] = {"step": step}
+        if self._async_ckptr is not None:
+            self._async_ckptr.save(entries)
+        else:
+            for path, payload in entries.items():
+                save_checkpoint(path, payload)
+
+    def save_latest(self, params, rest, opt_state, ema_params, step: int, epoch: int) -> None:
+        """Preemption checkpoint: full artifact set + the epoch to resume at,
+        written every ``save_every_n_epochs`` regardless of val improvement."""
+        base = self.save_path / "checkpoints_latest"
+        entries: dict[Any, dict[str, Any]] = {
+            base / "denoiser": {"params": params, "rest": rest},
+            base / "optimizer": {"opt_state": opt_state},
+            base / "scheduler": {"step": step, "epoch": epoch},
+        }
+        if ema_params is not None:
+            entries[base / "ema"] = {"params": ema_params}
         if self._async_ckptr is not None:
             self._async_ckptr.save(entries)
         else:
@@ -386,7 +411,21 @@ class BaseTrainer(Trainer):
         seed: int = 0,
         steps_per_epoch: int | None = None,
         lora_only: bool = False,
+        auto_resume: bool = False,
     ) -> None:
+        if auto_resume:
+            # preemption recovery: pick up the periodic "latest" artifact set
+            # if one exists (written by save_every_n_epochs); explicit ckpt
+            # args are overridden — auto_resume means "continue THIS run"
+            latest = self.save_path / "checkpoints_latest"
+            if (latest / "scheduler").exists():
+                meta = restore_checkpoint(latest / "scheduler")
+                epoch_start = int(meta["epoch"])
+                denoiser_ckpt = str(latest / "denoiser")
+                optimizer_ckpt = str(latest / "optimizer")
+                ema_ckpt = str(latest / "ema") if (latest / "ema").exists() else None
+                logger.info(f"auto-resume from {latest} at epoch {epoch_start}")
+
         if val_step_shift is not None:
             assert diffuser.model_type == "rectified_flow", (
                 "Time-shifting during validation is only supported for flow-based models."
@@ -488,7 +527,11 @@ class BaseTrainer(Trainer):
                     "epoch_start > 0 requires steps_per_epoch when the "
                     "dataloader has no len()"
                 ) from e
-        step = epoch_start * (steps_per_epoch or 0) * self.gradient_accumulation_step
+        # steps_per_epoch counts MICRO-batches (len(train_dataloader)), the
+        # same unit the loop's `step += 1` advances in — no accumulation
+        # factor (a stray *accum here made resumed counters overshoot, which
+        # shifts the EMA ramp and the per-step rng folds)
+        step = epoch_start * (steps_per_epoch or 0)
 
         logger.info("Begin training")
         for epoch in range(epoch_start, self.n_epoch):
@@ -579,6 +622,9 @@ class BaseTrainer(Trainer):
                     best_val_loss = total_loss
                     self.save_model(diffuser, params, rest, opt_state, ema_params, step)
                 tracker_meter.reset()
+
+            if self.save_every_n_epochs and (epoch + 1) % self.save_every_n_epochs == 0:
+                self.save_latest(params, rest, opt_state, ema_params, step, epoch + 1)
 
         # leave the live module holding the final trained params
         nnx.update(modules, params)

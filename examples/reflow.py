@@ -115,6 +115,7 @@ def main() -> None:
         async_checkpointing=trainer_cfg.get("async_checkpointing", True),
         posthoc_ema=trainer_cfg.get("posthoc_ema", False),
         posthoc_ema_gammas=tuple(trainer_cfg.get("posthoc_ema_gammas", (6.94, 16.97))),
+        save_every_n_epochs=trainer_cfg.get("save_every_n_epochs"),
     )
     # CFG drop stays on only for class-conditional reflow
     p_cfg = trainer_cfg.get("p_classifier_free_guidance", 0.1) if n_classes else 0.0

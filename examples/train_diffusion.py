@@ -125,6 +125,7 @@ def main() -> None:
         async_checkpointing=trainer_cfg.get("async_checkpointing", True),
         posthoc_ema=trainer_cfg.get("posthoc_ema", False),
         posthoc_ema_gammas=tuple(trainer_cfg.get("posthoc_ema_gammas", (6.94, 16.97))),
+        save_every_n_epochs=trainer_cfg.get("save_every_n_epochs"),
     )
 
     scheduler = None
@@ -146,6 +147,7 @@ def main() -> None:
         optimizer_ckpt=trainer_cfg.get("optimizer_ckpt"),
         ema_ckpt=trainer_cfg.get("ema_ckpt"),
         epoch_start=trainer_cfg.get("epoch_start", 0),
+        auto_resume=trainer_cfg.get("auto_resume", False),
         seed=args.seed,
         lora_only=bool(trainer_cfg.get("lora_rank")),
     )

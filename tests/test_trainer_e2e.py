@@ -148,3 +148,50 @@ def test_resume_continues_ema_ramp(tmp_path):
     assert len(leaves_a) == len(leaves_b)
     for a, b in zip(leaves_a, leaves_b):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_auto_resume_from_latest_checkpoint(tmp_path):
+    """Preemption recovery: save_every_n_epochs writes checkpoints_latest/,
+    and a re-launched trainer with auto_resume=True continues the SAME run —
+    final EMA matches an uninterrupted sibling to numerical tolerance."""
+    from diffulab_tpu.training.checkpoint import restore_checkpoint
+
+    ds = SyntheticDataset(n=32)
+    val_ds = SyntheticDataset(n=16, seed=1)
+
+    def loaders():
+        return (DataLoader(ds, batch_size=16, shuffle=True, prefetch=0),
+                DataLoader(val_ds, batch_size=16, shuffle=False, prefetch=0))
+
+    # gradient_accumulation_step=2 also regression-tests the resumed step
+    # counter: it advances per MICRO-batch, so the resume start must NOT be
+    # multiplied by the accumulation factor (a stray *accum shifted the EMA
+    # ramp of every resumed accum>1 run)
+    kw = dict(use_ema=True, ema_update_after_step=0, ema_update_every=1,
+              ema_rate=0.9, save_every_n_epochs=1, gradient_accumulation_step=2)
+
+    train_dl, val_dl = loaders()
+    straight = BaseTrainer(n_epoch=2, save_path=tmp_path, project_name="straight2", **kw)
+    straight.train(_tiny_diffuser(), adamw(lr=1e-3), train_dl, val_dl,
+                   log_validation_images=False, seed=0)
+
+    # "preempted" run: 1 epoch, then a fresh process picks it up with
+    # auto_resume (same save_path/project) and runs to 2
+    train_dl, val_dl = loaders()
+    phase1 = BaseTrainer(n_epoch=1, save_path=tmp_path, project_name="preempt", **kw)
+    phase1.train(_tiny_diffuser(), adamw(lr=1e-3), train_dl, val_dl,
+                 log_validation_images=False, seed=0)
+    latest = tmp_path / "preempt" / "checkpoints_latest"
+    assert (latest / "scheduler").exists() and (latest / "ema").exists()
+
+    train_dl, val_dl = loaders()
+    phase2 = BaseTrainer(n_epoch=2, save_path=tmp_path, project_name="preempt", **kw)
+    phase2.train(_tiny_diffuser(), adamw(lr=1e-3), train_dl, val_dl,
+                 log_validation_images=False, seed=0, auto_resume=True)
+
+    ema_a = restore_checkpoint(tmp_path / "straight2" / "checkpoints_latest" / "ema")
+    ema_b = restore_checkpoint(tmp_path / "preempt" / "checkpoints_latest" / "ema")
+    for a, b in zip(jax.tree.leaves(ema_a), jax.tree.leaves(ema_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+    meta = restore_checkpoint(tmp_path / "preempt" / "checkpoints_latest" / "scheduler")
+    assert int(meta["epoch"]) == 2
