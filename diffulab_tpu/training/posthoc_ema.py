@@ -35,6 +35,7 @@ beyond-reference subsystem motivated by this repo's own measurements.
 
 from __future__ import annotations
 
+import re
 from pathlib import Path
 from typing import Any, Sequence
 
@@ -109,16 +110,30 @@ def cast_tree_f16(tree: Any) -> Any:
 # snapshot store
 # --------------------------------------------------------------------------- #
 def snapshot_dir(base: Path, step: int, gamma: float) -> Path:
-    return Path(base) / f"step{step:08d}_g{gamma:g}"
+    # %.10g keeps custom high-precision gammas roundtrippable through the
+    # dirname (resume matches tracks by the parsed value)
+    return Path(base) / f"step{step:08d}_g{gamma:.10g}"
+
+
+_SNAPSHOT_RE = re.compile(r"^step(\d+)_g([0-9.eE+-]+)$")
 
 
 def list_snapshots(base: Path) -> list[tuple[int, float, Path]]:
-    """(step, gamma, path) for every stored snapshot, sorted by step."""
+    """(step, gamma, path) for every stored snapshot, sorted by step.
+
+    Only finalized orbax dirs with a cleanly parseable name count — a save
+    interrupted by preemption leaves ``*.orbax-checkpoint-tmp`` siblings in
+    the same parent, which must not crash (or pollute) the reconstruction
+    that runs right after that preemption."""
     out = []
     for p in sorted(Path(base).glob("step*_g*")):
-        stem = p.name
-        step_s, gamma_s = stem[len("step"):].split("_g")
-        out.append((int(step_s), float(gamma_s), p))
+        m = _SNAPSHOT_RE.match(p.name)
+        if m is None or not p.is_dir():
+            continue
+        try:
+            out.append((int(m.group(1)), float(m.group(2)), p))
+        except ValueError:
+            continue
     out.sort(key=lambda r: (r[0], r[1]))
     return out
 
@@ -176,10 +191,16 @@ def reconstruct_from_dir(
     if t_out is None:
         t_out = max(s for s, _, _ in snaps)
     if max_snapshots is not None and len(snaps) > max_snapshots:
-        # thin evenly but always keep the final snapshots of each track
+        # thin evenly to AT MOST max_snapshots total, always keeping the
+        # final snapshot step of every track
         keep_steps = sorted({s for s, _, _ in snaps})
-        stride = max(len(keep_steps) // max(max_snapshots // 2, 1), 1)
-        chosen = set(keep_steps[::stride]) | {keep_steps[-1]}
+        n_tracks = max(len({g for _, g, _ in snaps}), 1)
+        target_steps = max(max_snapshots // n_tracks, 1)
+        if len(keep_steps) > target_steps:
+            idx = np.linspace(0, len(keep_steps) - 1, target_steps).round().astype(int)
+            chosen = {keep_steps[i] for i in idx} | {keep_steps[-1]}
+        else:
+            chosen = set(keep_steps)
         snaps = [r for r in snaps if r[0] in chosen]
     gamma_out = sigma_rel_to_gamma(sigma_rel)
     ts = [s for s, _, _ in snaps]

@@ -159,43 +159,87 @@ class Trainer:
             for path, payload in entries.items():
                 save_checkpoint(path, payload)
 
-    def save_latest(self, params, rest, opt_state, ema_params, step: int, epoch: int) -> None:
-        """Preemption checkpoint: full artifact set + the epoch to resume at,
-        written every ``save_every_n_epochs`` regardless of val improvement."""
-        base = self.save_path / "checkpoints_latest"
+    def save_latest(self, params, rest, opt_state, ema_params, step: int, epoch: int,
+                    best_val_loss: float = float("inf")) -> None:
+        """Preemption checkpoint: full artifact set + resume metadata.
+
+        Each save goes to its own ``checkpoints_latest/ep<N>/`` directory so
+        the SET is effectively atomic: orbax finalizes each entry dir
+        atomically, and resume only accepts an epoch dir whose whole set is
+        present — a write torn by the preemption itself leaves an incomplete
+        newest dir that is skipped, never a mixed-epoch restore. The previous
+        complete dir is removed before writing the next one (the in-flight
+        async save is joined first, so at most two generations ever coexist)."""
+        root = self.save_path / "checkpoints_latest"
+        self.wait_for_checkpoints()
+        keep = f"ep{epoch:06d}"
+        if root.exists():
+            import shutil
+
+            for old in root.iterdir():
+                if old.name != keep:
+                    shutil.rmtree(old, ignore_errors=True)
+        base = root / keep
         entries: dict[Any, dict[str, Any]] = {
             base / "denoiser": {"params": params, "rest": rest},
             base / "optimizer": {"opt_state": opt_state},
-            base / "scheduler": {"step": step, "epoch": epoch},
         }
         if ema_params is not None:
             entries[base / "ema"] = {"params": ema_params}
+        # scheduler goes LAST: its presence marks the set complete
+        entries[base / "scheduler"] = {
+            "step": step, "epoch": epoch,
+            "best_val_loss": best_val_loss if np.isfinite(best_val_loss) else 1e30,
+        }
         if self._async_ckptr is not None:
             self._async_ckptr.save(entries)
         else:
             for path, payload in entries.items():
                 save_checkpoint(path, payload)
 
+    @staticmethod
+    def find_latest_checkpoint(root: Path) -> Path | None:
+        """Newest COMPLETE ``checkpoints_latest/ep*`` set (scheduler written
+        last marks completion; orbax tmp dirs don't count as present)."""
+        if not root.exists():
+            return None
+        for cand in sorted(root.glob("ep*"), reverse=True):
+            if all((cand / part).is_dir() for part in ("scheduler", "denoiser", "optimizer")):
+                return cand
+        return None
+
     def wait_for_checkpoints(self) -> None:
         """Join the in-flight background save (re-raising write errors)."""
         if self._async_ckptr is not None:
             self._async_ckptr.wait()
 
-    def _init_phema(self, params, param_sh, phema_base: Path, epoch_start: int):
+    def _init_phema(self, params, param_sh, phema_base: Path, resume_step: int):
         """Fresh power-EMA tracks (fp32 copies of the online params), or —
-        when resuming — the stored fp16 snapshots closest to the resume
-        point (best-effort: the fp16 roundtrip costs <1e-3 relative, far
-        under the width of any profile being reconstructed)."""
+        when resuming — the stored fp16 snapshots at (or before) the resume
+        step. Snapshots PAST the resume point are never used: the re-trained
+        steps would be double-counted in the average. The fp16 roundtrip
+        costs <1e-3 relative, far under the width of any profile being
+        reconstructed."""
         tracks = []
-        snaps = list_snapshots(phema_base) if epoch_start else []
+        snaps = list_snapshots(phema_base) if resume_step else []
+        f16_template = {
+            "params": jax.tree.map(
+                lambda p: jax.ShapeDtypeStruct(p.shape, jnp.float16), params
+            )
+        }
         for gamma in self.posthoc_ema_gammas:
-            candidates = [(s, p) for s, g, p in snaps if abs(g - gamma) < 1e-6]
+            candidates = [(s, p) for s, g, p in snaps
+                          if abs(g - gamma) < 1e-6 * max(abs(gamma), 1.0) and s <= resume_step]
             if candidates:
-                _, path = max(candidates)
-                tree = restore_checkpoint(path)["params"]
-                tree = jax.tree.map(
-                    lambda saved, p: jnp.asarray(saved, jnp.float32), tree, params
-                )
+                snap_step, path = max(candidates)
+                if snap_step != resume_step:
+                    logger.warning(
+                        f"phema track gamma={gamma}: resuming from snapshot at step "
+                        f"{snap_step} != resume step {resume_step}; the gap's steps "
+                        "are missing from this track's average"
+                    )
+                tree = restore_checkpoint(path, f16_template)["params"]
+                tree = jax.tree.map(lambda saved: jnp.asarray(saved, jnp.float32), tree)
                 tracks.append(jax.tree.map(jax.device_put, tree, param_sh))
             else:
                 tracks.append(jax.tree.map(jnp.copy, params))
@@ -413,14 +457,17 @@ class BaseTrainer(Trainer):
         lora_only: bool = False,
         auto_resume: bool = False,
     ) -> None:
+        resume_best_val = float("inf")
         if auto_resume:
-            # preemption recovery: pick up the periodic "latest" artifact set
-            # if one exists (written by save_every_n_epochs); explicit ckpt
-            # args are overridden — auto_resume means "continue THIS run"
-            latest = self.save_path / "checkpoints_latest"
-            if (latest / "scheduler").exists():
+            # preemption recovery: pick up the newest COMPLETE periodic
+            # artifact set if one exists (written by save_every_n_epochs);
+            # explicit ckpt args are overridden — auto_resume means
+            # "continue THIS run"
+            latest = self.find_latest_checkpoint(self.save_path / "checkpoints_latest")
+            if latest is not None:
                 meta = restore_checkpoint(latest / "scheduler")
                 epoch_start = int(meta["epoch"])
+                resume_best_val = float(meta.get("best_val_loss", float("inf")))
                 denoiser_ckpt = str(latest / "denoiser")
                 optimizer_ckpt = str(latest / "optimizer")
                 ema_ckpt = str(latest / "ema") if (latest / "ema").exists() else None
@@ -501,18 +548,6 @@ class BaseTrainer(Trainer):
             else:
                 ema_params = jax.tree.map(jnp.copy, params)  # distinct buffers (donation-safe)
 
-        phema_params = None
-        phema_base = self.save_path / "checkpoints" / "phema"
-        if self.posthoc_ema:
-            phema_params = self._init_phema(params, param_sh, phema_base, epoch_start)
-
-        train_step, eval_step = self._build_step_fns(
-            diffuser, graphdef, rest, optimizer, p_classifier_free_guidance
-        )
-
-        best_val_loss = float("inf")
-        tracker_meter = AverageMeter()
-        rng = jax.random.key(seed)
         if epoch_start and steps_per_epoch is None:
             # resume must continue the raw step counter: it drives the EMA
             # decay ramp and the per-step rng folding. Leaving it at 0 resets
@@ -532,6 +567,19 @@ class BaseTrainer(Trainer):
         # factor (a stray *accum here made resumed counters overshoot, which
         # shifts the EMA ramp and the per-step rng folds)
         step = epoch_start * (steps_per_epoch or 0)
+
+        phema_params = None
+        phema_base = self.save_path / "checkpoints" / "phema"
+        if self.posthoc_ema:
+            phema_params = self._init_phema(params, param_sh, phema_base, step)
+
+        train_step, eval_step = self._build_step_fns(
+            diffuser, graphdef, rest, optimizer, p_classifier_free_guidance
+        )
+
+        best_val_loss = resume_best_val
+        tracker_meter = AverageMeter()
+        rng = jax.random.key(seed)
 
         logger.info("Begin training")
         for epoch in range(epoch_start, self.n_epoch):
@@ -624,7 +672,8 @@ class BaseTrainer(Trainer):
                 tracker_meter.reset()
 
             if self.save_every_n_epochs and (epoch + 1) % self.save_every_n_epochs == 0:
-                self.save_latest(params, rest, opt_state, ema_params, step, epoch + 1)
+                self.save_latest(params, rest, opt_state, ema_params, step, epoch + 1,
+                                 best_val_loss=best_val_loss)
 
         # leave the live module holding the final trained params
         nnx.update(modules, params)

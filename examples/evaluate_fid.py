@@ -118,11 +118,13 @@ def main() -> None:
         if base_ckpt:
             restore_train_modules(base_ckpt, _TrainModules(denoiser, []))
             print(f"restored LoRA base weights from {base_ckpt}")
-        elif any(Path(c).name == "ema" for c in args.ckpt):
+        elif any(Path(c).name == "ema" or Path(c).name.startswith("phema")
+                 for c in args.ckpt):
             raise SystemExit(
-                "--ckpt points at a LoRA run's ema dir, which stores only adapter "
-                "params; set trainer.lora_from so the base weights can be restored "
-                "(evaluating without them would score a random model)."
+                "--ckpt points at a LoRA run's params-only dir (ema / phema_sr*), "
+                "which stores only adapter params; set trainer.lora_from so the "
+                "base weights can be restored (evaluating without them would "
+                "score a random model)."
             )
         apply_lora(denoiser, int(lora_rank), rngs=nnx.Rngs(args.seed + 1),
                    variant=cfg["trainer"].get("lora_variant", "lora"))

@@ -128,6 +128,7 @@ def main() -> None:
         p_classifier_free_guidance=p_cfg,
         val_steps=trainer_cfg.get("val_steps", 50),
         seed=args.seed,
+        auto_resume=trainer_cfg.get("auto_resume", False),
     )
     print("reflow training complete")
 

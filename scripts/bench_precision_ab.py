@@ -87,11 +87,15 @@ def main() -> None:
     best: dict[str, float] = {}
     for round_i in range(ROUNDS):
         for name in ("bf16_policy", "bf16_stream_bf16", "fp32"):
-            out = subprocess.run(
-                [sys.executable, __file__, name],
-                capture_output=True, text=True, timeout=1200,
-                cwd=Path(__file__).parent.parent,
-            )
+            try:
+                out = subprocess.run(
+                    [sys.executable, __file__, name],
+                    capture_output=True, text=True, timeout=1200,
+                    cwd=Path(__file__).parent.parent,
+                )
+            except subprocess.TimeoutExpired:
+                print(f"round {round_i} {name}: TIMEOUT (relay hang?) — continuing", flush=True)
+                continue
             line = next((l for l in out.stdout.splitlines() if l.startswith("VARIANT")), None)
             if line is None:
                 print(f"round {round_i} {name}: FAILED\n{out.stderr[-2000:]}", flush=True)

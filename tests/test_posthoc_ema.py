@@ -154,11 +154,18 @@ def test_trainer_snapshots_and_cli_reconstruction(tmp_path):
     leaves = jax.tree.leaves(result["params"])
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
 
-    # CLI end-to-end + restore through the shared checkpoint path
+    # CLI end-to-end + restore through the shared checkpoint path. The
+    # subprocess MUST force CPU: the parent's conftest pins jax to CPU but a
+    # child inherits the container's axon (TPU relay) default, and a second
+    # relay client wedges any concurrent chip job (BASELINE.md house rule).
+    import os
+
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
     out = subprocess.run(
         [sys.executable, "examples/reconstruct_ema.py", "--run-dir",
          str(tmp_path / "phema"), "--sigma-rel", "0.1"],
         capture_output=True, text=True, timeout=300, cwd=Path(__file__).parent.parent,
+        env=env,
     )
     assert out.returncode == 0, out.stderr
     recon_dir = tmp_path / "phema" / "checkpoints" / "phema_sr0.1"

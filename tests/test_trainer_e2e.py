@@ -166,9 +166,11 @@ def test_auto_resume_from_latest_checkpoint(tmp_path):
     # gradient_accumulation_step=2 also regression-tests the resumed step
     # counter: it advances per MICRO-batch, so the resume start must NOT be
     # multiplied by the accumulation factor (a stray *accum shifted the EMA
-    # ramp of every resumed accum>1 run)
+    # ramp of every resumed accum>1 run). posthoc_ema=True covers the phema
+    # track restore across the preemption (fp16 snapshot roundtrip).
     kw = dict(use_ema=True, ema_update_after_step=0, ema_update_every=1,
-              ema_rate=0.9, save_every_n_epochs=1, gradient_accumulation_step=2)
+              ema_rate=0.9, save_every_n_epochs=1, gradient_accumulation_step=2,
+              posthoc_ema=True)
 
     train_dl, val_dl = loaders()
     straight = BaseTrainer(n_epoch=2, save_path=tmp_path, project_name="straight2", **kw)
@@ -181,17 +183,40 @@ def test_auto_resume_from_latest_checkpoint(tmp_path):
     phase1 = BaseTrainer(n_epoch=1, save_path=tmp_path, project_name="preempt", **kw)
     phase1.train(_tiny_diffuser(), adamw(lr=1e-3), train_dl, val_dl,
                  log_validation_images=False, seed=0)
-    latest = tmp_path / "preempt" / "checkpoints_latest"
-    assert (latest / "scheduler").exists() and (latest / "ema").exists()
+    from diffulab_tpu.training.trainer import Trainer
+
+    latest = Trainer.find_latest_checkpoint(tmp_path / "preempt" / "checkpoints_latest")
+    assert latest is not None and latest.name == "ep000001" and (latest / "ema").exists()
 
     train_dl, val_dl = loaders()
     phase2 = BaseTrainer(n_epoch=2, save_path=tmp_path, project_name="preempt", **kw)
     phase2.train(_tiny_diffuser(), adamw(lr=1e-3), train_dl, val_dl,
                  log_validation_images=False, seed=0, auto_resume=True)
 
-    ema_a = restore_checkpoint(tmp_path / "straight2" / "checkpoints_latest" / "ema")
-    ema_b = restore_checkpoint(tmp_path / "preempt" / "checkpoints_latest" / "ema")
+    def _latest(project):
+        from diffulab_tpu.training.trainer import Trainer
+
+        return Trainer.find_latest_checkpoint(tmp_path / project / "checkpoints_latest")
+
+    ema_a = restore_checkpoint(_latest("straight2") / "ema")
+    ema_b = restore_checkpoint(_latest("preempt") / "ema")
     for a, b in zip(jax.tree.leaves(ema_a), jax.tree.leaves(ema_b)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
-    meta = restore_checkpoint(tmp_path / "preempt" / "checkpoints_latest" / "scheduler")
+    meta = restore_checkpoint(_latest("preempt") / "scheduler")
     assert int(meta["epoch"]) == 2
+
+    # phema tracks survive the preemption: the resumed run's final snapshots
+    # match the uninterrupted run's to fp16-roundtrip tolerance
+    from diffulab_tpu.training.posthoc_ema import list_snapshots
+
+    snaps_a = list_snapshots(tmp_path / "straight2" / "checkpoints" / "phema")
+    snaps_b = list_snapshots(tmp_path / "preempt" / "checkpoints" / "phema")
+    final_a = {g: p for s, g, p in snaps_a if s == max(r[0] for r in snaps_a)}
+    final_b = {g: p for s, g, p in snaps_b if s == max(r[0] for r in snaps_b)}
+    assert final_a.keys() == final_b.keys() and len(final_a) == 2
+    for g in final_a:
+        tree_a = restore_checkpoint(final_a[g])["params"]
+        tree_b = restore_checkpoint(final_b[g])["params"]
+        for a, b in zip(jax.tree.leaves(tree_a), jax.tree.leaves(tree_b)):
+            np.testing.assert_allclose(np.asarray(a, np.float32), np.asarray(b, np.float32),
+                                       rtol=2e-3, atol=2e-3)
