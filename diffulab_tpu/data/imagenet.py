@@ -178,6 +178,12 @@ class MultiARBatchSampler:
         self.seed = seed
         self._epoch = 0
 
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the shuffle epoch (same convention as DataLoader.set_epoch —
+        ``__iter__`` pre-increments, so the next iteration shuffles with
+        ``seed + epoch + 1``); a resumed run replays the epoch's order."""
+        self._epoch = epoch
+
     def __iter__(self) -> Iterator[list[int]]:
         self._epoch += 1
         rng = np.random.default_rng(self.seed + self._epoch)

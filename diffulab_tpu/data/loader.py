@@ -65,8 +65,11 @@ class DataLoader:
         resumed run calls this with the 0-based trainer epoch so epoch N
         replays epoch N's order instead of restarting the counter at 0.
         ``__iter__`` pre-increments, so the next iteration shuffles with
-        ``seed + epoch + 1`` — exactly what an uninterrupted run used."""
+        ``seed + epoch + 1`` — exactly what an uninterrupted run used.
+        Forwarded to a custom sampler (it owns the order then)."""
         self._epoch = epoch
+        if self.sampler is not None and hasattr(self.sampler, "set_epoch"):
+            self.sampler.set_epoch(epoch)
 
     @property
     def process_count(self) -> int:
@@ -91,7 +94,15 @@ class DataLoader:
         if self.sampler is not None:
             if pc == 1:
                 return len(self.sampler)
-            return sum(1 for batch in self.sampler if len(batch) // pc > 0)
+            # len() must be side-effect free: iterating the sampler advances
+            # its shuffle-epoch counter, silently shifting every subsequent
+            # epoch's data order — restore it after counting
+            saved_epoch = getattr(self.sampler, "_epoch", None)
+            try:
+                return sum(1 for batch in self.sampler if len(batch) // pc > 0)
+            finally:
+                if saved_epoch is not None:
+                    self.sampler._epoch = saved_epoch
         n = len(self.dataset)
         full = n // self.batch_size
         rem = n % self.batch_size

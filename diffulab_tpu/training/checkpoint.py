@@ -170,6 +170,15 @@ def restore_train_modules(
                 restored = restore_checkpoint(path, {"params": params, "rest": rest})
                 nnx.update(modules, restored["params"], restored["rest"])
             return
-        except Exception:
+        except Exception as e:
             if i == len(filters) - 1:
                 raise
+            # surface the first attempt's error before trying the legacy
+            # (repa-encoder-in-params) layout — otherwise a corrupt or
+            # mismatched checkpoint is misreported as a legacy-layout failure
+            import logging
+
+            logging.getLogger(__name__).warning(
+                f"restore with the current trainable split failed ({e!r}); "
+                f"retrying with the legacy repa-encoder-in-params layout"
+            )

@@ -34,7 +34,7 @@ from diffulab_tpu.diffuse.diffuser import Diffuser
 from diffulab_tpu.diffuse.flow import Flow
 from diffulab_tpu.networks.rewards.common import RewardModel
 from diffulab_tpu.parallel.sharding import batch_sharding, get_param_shardings, replicated
-from diffulab_tpu.training.checkpoint import restore_checkpoint
+from diffulab_tpu.training.checkpoint import restore_checkpoint, trainable_filter
 from diffulab_tpu.training.ema import ema_update
 from diffulab_tpu.training.meters import AverageMeter
 from diffulab_tpu.training.trainer import Trainer, _TrainModules
@@ -278,10 +278,11 @@ class GRPOTrainer(Trainer):
             diffuser.denoiser.set_parallel_mesh(self.mesh)
 
         modules = _TrainModules(diffuser.denoiser, diffuser.extra_losses)
-        # context embedder hard-frozen during GRPO (reference :514-515);
-        # shared filter also keeps any live REPA encoder out of the optimizer
-        trainable = nnx.All(nnx.Param, nnx.Not(nnx.PathContains("context_embedder")),
-                            nnx.Not(nnx.PathContains("repa_encoder")))
+        # context embedder hard-frozen during GRPO (reference :514-515); the
+        # SHARED filter (checkpoint.py::trainable_filter, the checkpoint
+        # layout's single source of truth) also keeps any live REPA encoder
+        # out of the optimizer
+        trainable = trainable_filter(diffuser.denoiser, train_embedder=False)
         graphdef, params, rng_state, rest = nnx.split(modules, trainable, nnx.RngState, ...)
 
         if denoiser_ckpt:
@@ -315,7 +316,18 @@ class GRPOTrainer(Trainer):
         tracker = AverageMeter()
         best_val_loss = float("inf")
         rng = jax.random.key(seed)
+        # resume continues the raw step counter (it drives the EMA decay
+        # ramp — restarting at 0 silently resets the restored EMA to a
+        # near-copy of the live weights, the measured EMA-horizon artifact).
+        # GRPO advances step once per GROUP per train batch.
         step = 0
+        if epoch_start:
+            try:
+                step = epoch_start * len(train_dataloader) * n_image_per_prompt
+            except TypeError as e:
+                raise ValueError(
+                    "epoch_start > 0 requires a train_dataloader with len()"
+                ) from e
         logger.info("Begin GRPO training")
 
         for epoch in range(epoch_start, self.n_epoch):

@@ -37,6 +37,11 @@ from diffulab_tpu.training.evaluation import compute_fid, extract_features
 
 CONFIG_DIR = Path(__file__).parent.parent / "configs"
 
+# Bump when frozen_vit_features changes in ANY way (architecture, seed,
+# pooling, preprocessing): it keys the real-feature cache, and numbers from
+# different feature spaces must never be mixed.
+FEATURE_SPACE_VERSION = "vit_s4_seed1234_meanpool_v1"
+
 
 def frozen_vit_features(image_size: int, feature_seed: int = 1234):
     """Mean-pooled patch features from a frozen, fixed-seed ViT-S/4.
@@ -136,12 +141,14 @@ def main() -> None:
     # split/seed — cache them (device time dominates on a relayed chip)
     import hashlib
 
-    # key covers BOTH splits' configs: the blob stores train features too,
-    # so a train-only override must miss the cache
+    # key covers BOTH splits' configs (the blob stores train features too,
+    # so a train-only override must miss the cache) AND the feature
+    # extractor's identity — features cached under an older extractor would
+    # silently be compared against fresh sample features from a new one
     cache_key = hashlib.sha1(
         repr((sorted(cfg["dataset"]["val"].items()),
               sorted(cfg["dataset"]["train"].items()),
-              len(real_val), args.seed)).encode()
+              len(real_val), args.seed, FEATURE_SPACE_VERSION)).encode()
     ).hexdigest()[:16]
     cache_path = Path("data") / "fid_cache" / f"{cache_key}.npz"
     if cache_path.exists():

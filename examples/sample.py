@@ -49,6 +49,8 @@ def main() -> None:
                         help="comma-separated class labels, tiled to --n (default: random)")
     parser.add_argument("--image-size", type=int, default=None,
                         help="pixel H=W (default: dataset image_size)")
+    parser.add_argument("--prompts", default=None,
+                        help="'|'-separated text prompts (HF text-embedder configs)")
     parser.add_argument("--out", default="samples.png")
     parser.add_argument("--separate", action="store_true", help="also write per-image PNGs")
     parser.add_argument("--seed", type=int, default=0)
@@ -58,7 +60,13 @@ def main() -> None:
     cfg = compose_config(args.config_dir, args.config_name, args.overrides)
     ds_cfg = cfg["dataset"]["val"]
 
-    denoiser = instantiate(cfg["model"], rngs=nnx.Rngs(args.seed))
+    # txt2img configs carry an embedder group: the train CLIs construct the
+    # denoiser WITH it (train_repa_txt_to_img.py:43-46), and the checkpoint's
+    # `rest` includes the frozen embedder state — the restore target must too
+    model_kwargs = {}
+    if cfg.get("embedder"):
+        model_kwargs["context_embedder"] = instantiate(cfg["embedder"], rngs=nnx.Rngs(args.seed))
+    denoiser = instantiate(cfg["model"], rngs=nnx.Rngs(args.seed), **model_kwargs)
     from diffulab_tpu.training.losses.build import build_extra_losses
 
     # latent-diffusion configs carry a vision_tower group; sampling in latent
@@ -101,6 +109,19 @@ def main() -> None:
         size //= vision_tower.compression_factor
 
     cond: dict[str, jnp.ndarray] = {}
+    embedder = getattr(denoiser, "context_embedder", None)
+    if args.prompts:
+        if not hasattr(embedder, "embed_host"):
+            raise SystemExit(
+                "--prompts requires an HF text embedder (embedder group with "
+                "embed_host); precomputed-embedding configs must sample through "
+                "a dataset that carries the cached caption embeddings."
+            )
+        texts = args.prompts.split("|")
+        texts = (texts * ((args.n + len(texts) - 1) // len(texts)))[: args.n]
+        embedder.embed_host([""])  # cache the null embedding for CFG
+        cond["context"] = {k: jnp.asarray(v) for k, v in embedder.embed_host(texts).items()}
+        print(f"prompts: {texts}")
     n_classes = cfg["model"].get("n_classes")
     if n_classes:
         if args.labels:

@@ -207,3 +207,38 @@ def test_bucket_cache_roundtrip(tmp_path):
     ds1 = ImageNetmultiAR(str(tmp_path / "ar2"), split="train", cache_dir=tmp_path / "cache2")
     ds2 = ImageNetmultiAR(str(tmp_path / "ar2"), split="train", cache_dir=tmp_path / "cache2")
     assert ds1.buckets == ds2.buckets
+
+
+def test_sampler_epoch_replay_and_sideeffect_free_len(tmp_path):
+    """Resume fidelity for sampler-based (multi-AR) runs: DataLoader.set_epoch
+    forwards to the sampler so a resumed epoch replays its shuffle order, and
+    multi-host len() must not advance the sampler's epoch counter."""
+
+    class FakeDS:
+        buckets = {(4, 4): list(range(8)), (4, 8): list(range(8, 14))}
+
+        def __len__(self):
+            return 14
+
+        def __getitem__(self, i):
+            return {"x": np.zeros(2, np.float32)}
+
+    def orders(sampler, n):
+        return [list(sampler) for _ in range(n)]
+
+    a = MultiARBatchSampler(FakeDS(), batch_size=2, shuffle=True, seed=0)
+    b = MultiARBatchSampler(FakeDS(), batch_size=2, shuffle=True, seed=0)
+    ep1, ep2 = orders(a, 2)
+    assert ep1 != ep2  # shuffle differs per epoch
+    b.set_epoch(1)  # resume at trainer epoch 1 -> replay ep2's order
+    assert list(b) == ep2
+
+    # loader forwards set_epoch; len() is side-effect free on multi-host
+    s = MultiARBatchSampler(FakeDS(), batch_size=2, shuffle=True, seed=0)
+    dl = DataLoader(FakeDS(), batch_size=2, sampler=s, prefetch=0,
+                    process_count=2, process_index=0)
+    before = s._epoch
+    n = len(dl)
+    assert n > 0 and s._epoch == before
+    dl.set_epoch(7)
+    assert s._epoch == 7
