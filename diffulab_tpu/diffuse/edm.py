@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from diffulab_tpu.diffuse.guidance import combine_cfg, effective_scale
+
 ModelFn = Callable[..., dict[str, jax.Array]]
 
 
@@ -44,6 +46,11 @@ class EDM:
     # stochastic sampling (S_churn > 0 re-noises each step; 0 = deterministic)
     s_churn: float = 0.0
     s_noise: float = 1.0
+    # CFG shaping (diffuse/guidance.py): [lo, hi] window in SIGMA units
+    # outside which the effective scale is 1 (arXiv:2404.07724 expresses its
+    # intervals in exactly these units), and the arXiv:2305.08891 std-rescale
+    guidance_interval: Sequence[float] | None = None
+    guidance_rescale: float = 0.0
 
     def __post_init__(self):
         if self.sampling_method not in ("heun", "euler", "dpmpp_2m"):
@@ -104,7 +111,8 @@ class EDM:
         drop = jnp.concatenate([jnp.zeros((b,), bool), jnp.ones((b,), bool)])
         d = self._denoised(model_fn, x2, s2, cond2, drop)
         d_cond, d_uncond = jnp.split(d, 2, axis=0)
-        return d_uncond + guidance_scale * (d_cond - d_uncond)
+        scale = effective_scale(guidance_scale, sigma, self.guidance_interval)
+        return combine_cfg(d_cond, d_uncond, scale, self.guidance_rescale)
 
     # --- training loss ----------------------------------------------------
     def compute_loss(

@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from diffulab_tpu.diffuse.guidance import combine_cfg, effective_scale
 from diffulab_tpu.diffuse.samplers.common import StepResult
 from diffulab_tpu.diffuse.samplers.flow import DPMSolverPP2M, Euler, EulerMaruyama, Heun
 from diffulab_tpu.diffuse.schedules import flow_linear_timesteps, shift_timestep
@@ -56,12 +57,15 @@ def _cfg_model_call(
     cond: dict[str, Any],
     guidance_scale: float | jax.Array,
     use_cfg: bool,
+    guidance_interval: Sequence[float] | None = None,
+    guidance_rescale: float = 0.0,
 ) -> jax.Array:
     """Model forward with classifier-free guidance as ONE batched 2x call.
 
     The reference issues two sequential forwards (cond then uncond,
     flow.py:256-259); on TPU a single concatenated batch keeps the MXU busy and
-    halves the number of kernel launches. ``use_cfg`` is static.
+    halves the number of kernel launches. ``use_cfg`` is static;
+    interval/rescale shaping per diffuse/guidance.py (interval in flow time t).
     """
     batch = x.shape[0]
     if not use_cfg:
@@ -74,7 +78,8 @@ def _cfg_model_call(
     drop = jnp.concatenate([jnp.zeros((batch,), bool), jnp.ones((batch,), bool)])
     out = model_fn(x=x2, timesteps=t2, cond=cond2, drop=drop)["x"]
     out_cond, out_uncond = jnp.split(out, 2, axis=0)
-    return out_uncond + guidance_scale * (out_cond - out_uncond)
+    scale = effective_scale(guidance_scale, t_vec, guidance_interval)
+    return combine_cfg(out_cond, out_uncond, scale, guidance_rescale)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -89,6 +94,11 @@ class Flow:
     shift: float | None = None
     prediction_type: str = "v"
     sampler_parameters: dict[str, Any] = dataclasses.field(default_factory=dict)
+    # CFG shaping (diffuse/guidance.py): [lo, hi] window in flow time t
+    # (t=1 is pure noise) outside which the effective scale is 1, and the
+    # arXiv:2305.08891 std-rescale blend in [0, 1]
+    guidance_interval: Sequence[float] | None = None
+    guidance_rescale: float = 0.0
 
     def __post_init__(self):
         assert self.prediction_type in ("v", "x"), (
@@ -196,7 +206,8 @@ class Flow:
         use_cfg: bool = False,
     ) -> jax.Array:
         t_vec = jnp.full((x.shape[0],), t_curr, dtype=jnp.float32)
-        pred = _cfg_model_call(model_fn, x, t_vec, cond, guidance_scale, use_cfg)
+        pred = _cfg_model_call(model_fn, x, t_vec, cond, guidance_scale, use_cfg,
+                               self.guidance_interval, self.guidance_rescale)
         if self.x_prediction:
             return (x - pred) / jnp.maximum(t_curr, 0.05)
         return pred

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from diffulab_tpu.diffuse.guidance import combine_cfg, effective_scale
 from diffulab_tpu.diffuse.samplers.common import StepResult
 from diffulab_tpu.diffuse.samplers.gaussian import (
     DDIM,
@@ -75,6 +76,11 @@ class GaussianDiffusion:
     # reference trains plain epsilon-MSE, gaussian_diffusion.py:268-311).
     loss_weighting: str = "none"
     min_snr_gamma: float = 5.0
+    # CFG shaping (diffuse/guidance.py): [lo, hi] window as a FRACTION of the
+    # training schedule (t / (n_steps-1), 1 = pure noise) outside which the
+    # effective scale is 1, and the arXiv:2305.08891 std-rescale blend
+    guidance_interval: Sequence[float] | None = None
+    guidance_rescale: float = 0.0
 
     def __post_init__(self):
         if self.sampling_method not in SAMPLER_REGISTRY:
@@ -306,6 +312,11 @@ class GaussianDiffusion:
             drop = jnp.concatenate([jnp.zeros((batch,), bool), jnp.ones((batch,), bool)])
             out = model_fn(x=x2, timesteps=t2, cond=cond2, drop=drop)["x"]
             pred_cond, pred_uncond = jnp.split(out, 2, axis=0)
+            # interval/rescale shaping on the guided head (diffuse/guidance.py);
+            # the window is a fraction of the ORIGINAL training schedule so it
+            # is invariant under respacing
+            frac = model_timesteps.astype(jnp.float32) / max(self.training_steps - 1, 1)
+            scale = effective_scale(guidance_scale, frac, self.guidance_interval)
             if self.sampler.var_type in ("learned", "learned_range"):
                 # guide the mean head only; extrapolating the log-variance
                 # interpolant past the conditional value inflates per-step
@@ -313,10 +324,10 @@ class GaussianDiffusion:
                 # conditional variance)
                 head_c, var_c = jnp.split(pred_cond, 2, axis=-1)
                 head_u, _ = jnp.split(pred_uncond, 2, axis=-1)
-                head = head_u + guidance_scale * (head_c - head_u)
+                head = combine_cfg(head_c, head_u, scale, self.guidance_rescale)
                 prediction = jnp.concatenate([head, var_c], axis=-1)
             else:
-                prediction = pred_uncond + guidance_scale * (pred_cond - pred_uncond)
+                prediction = combine_cfg(pred_cond, pred_uncond, scale, self.guidance_rescale)
         else:
             drop = jnp.zeros((batch,), dtype=bool)
             prediction = model_fn(x=x, timesteps=model_timesteps, cond=cond, drop=drop)["x"]
