@@ -59,6 +59,51 @@ def compute_fid(real_features: np.ndarray, fake_features: np.ndarray) -> float:
     return frechet_distance(mu_r, sig_r, mu_f, sig_f)
 
 
+def _pairwise_sq_dists(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Squared euclidean distances [N, M] between feature rows (fp64)."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    a2 = (a * a).sum(axis=1)[:, None]
+    b2 = (b * b).sum(axis=1)[None, :]
+    return np.maximum(a2 + b2 - 2.0 * (a @ b.T), 0.0)
+
+
+def _knn_sq_radii(features: np.ndarray, k: int) -> np.ndarray:
+    """Per-point squared distance to its k-th nearest neighbor (self excluded)."""
+    d = _pairwise_sq_dists(features, features)
+    np.fill_diagonal(d, np.inf)
+    return np.partition(d, k - 1, axis=1)[:, k - 1]
+
+
+def compute_precision_recall(
+    real_features: np.ndarray,
+    fake_features: np.ndarray,
+    k: int = 3,
+) -> dict[str, float]:
+    """Improved precision/recall + density/coverage over feature manifolds.
+
+    Precision/recall per Kynkaanniemi et al. (arXiv:1904.06991): a sample is
+    covered when it falls inside any k-NN ball of the other set — precision
+    measures sample fidelity (fakes on the real manifold), recall measures
+    mode coverage (reals reachable from the fake manifold). Density/coverage
+    per Naeem et al. (arXiv:2002.09797) are the outlier-robust variants
+    (density counts overlapping balls; coverage anchors the test on real
+    k-NN balls only). All four diagnose what a single FID number conflates:
+    fidelity collapse (low precision/density) vs mode dropping (low
+    recall/coverage).
+    """
+    radii_real = _knn_sq_radii(real_features, k)
+    radii_fake = _knn_sq_radii(fake_features, k)
+    d_fr = _pairwise_sq_dists(fake_features, real_features)  # [M, N]
+    in_real_balls = d_fr <= radii_real[None, :]  # fake j inside real i's ball
+    precision = float(in_real_balls.any(axis=1).mean())
+    density = float(in_real_balls.sum(axis=1).mean() / k)
+    coverage = float((d_fr.min(axis=0) <= radii_real).mean())
+    recall = float((d_fr <= radii_fake[:, None]).any(axis=0).mean())
+    return {"precision": precision, "recall": recall,
+            "density": density, "coverage": coverage}
+
+
 def extract_features(
     images: Iterable[np.ndarray],
     feature_fn: FeatureFn,

@@ -33,7 +33,11 @@ from diffulab_tpu.diffuse import Diffuser
 from diffulab_tpu.networks.repa.vit import ViTEncoder
 from diffulab_tpu.training.checkpoint import restore_train_modules
 from diffulab_tpu.training.trainer import _TrainModules
-from diffulab_tpu.training.evaluation import compute_fid, extract_features
+from diffulab_tpu.training.evaluation import (
+    compute_fid,
+    compute_precision_recall,
+    extract_features,
+)
 
 CONFIG_DIR = Path(__file__).parent.parent / "configs"
 
@@ -63,6 +67,8 @@ def frozen_vit_features(image_size: int, feature_seed: int = 1234):
 
     def fn(batch: np.ndarray) -> np.ndarray:
         x = jnp.asarray(batch, jnp.float32)  # [-1, 1] NHWC
+        if x.shape[-1] == 1:  # grayscale datasets (MNIST): tile to RGB
+            x = jnp.tile(x, (1, 1, 1, 3))
         return np.asarray(run(state, x))
 
     return fn
@@ -197,11 +203,19 @@ def main() -> None:
         print(f"sampled {n} images in {dt:.1f}s ({n / dt:.2f} imgs/s)")
 
         fake_feats = extract_features(fake, feature_fn, args.batch_size)
-        fid = compute_fid(val_feats[:n] if n < len(val_feats) else val_feats, fake_feats)
+        ref_feats = val_feats[:n] if n < len(val_feats) else val_feats
+        fid = compute_fid(ref_feats, fake_feats)
+        pr = compute_precision_recall(ref_feats, fake_feats)
         print(f"FID(val, model samples)   = {fid:.3f}  [{ckpt}]")
         print(
-            '{"metric": "fid_synthetic", "value": %.3f, "floor": %.3f, "ceiling": %.3f, "ckpt": "%s"}'
-            % (fid, fid_floor, fid_ceiling, ckpt)
+            "precision/recall (k=3)    = %.3f / %.3f   density/coverage = %.3f / %.3f"
+            % (pr["precision"], pr["recall"], pr["density"], pr["coverage"])
+        )
+        print(
+            '{"metric": "fid_synthetic", "value": %.3f, "floor": %.3f, "ceiling": %.3f, '
+            '"precision": %.3f, "recall": %.3f, "density": %.3f, "coverage": %.3f, "ckpt": "%s"}'
+            % (fid, fid_floor, fid_ceiling, pr["precision"], pr["recall"],
+               pr["density"], pr["coverage"], ckpt)
         )
 
 

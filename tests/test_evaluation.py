@@ -45,3 +45,50 @@ def test_fid_monotone_in_noise():
     small = real + rng.normal(scale=0.1, size=real.shape)
     big = real + rng.normal(scale=1.0, size=real.shape)
     assert compute_fid(real, small) < compute_fid(real, big)
+
+
+def test_precision_recall_identical_sets():
+    from diffulab_tpu.training.evaluation import compute_precision_recall
+
+    rng = np.random.default_rng(0)
+    feats = rng.normal(size=(300, 16))
+    pr = compute_precision_recall(feats, feats.copy(), k=3)
+    # identical sets: every sample sits inside the other manifold
+    assert pr["precision"] == 1.0 and pr["recall"] == 1.0
+    assert pr["coverage"] == 1.0 and pr["density"] > 0.5
+
+
+def test_precision_recall_disjoint_sets():
+    from diffulab_tpu.training.evaluation import compute_precision_recall
+
+    rng = np.random.default_rng(1)
+    real = rng.normal(size=(300, 16))
+    fake = rng.normal(size=(300, 16)) + 100.0  # far-away cluster
+    pr = compute_precision_recall(real, fake, k=3)
+    assert pr["precision"] == 0.0 and pr["recall"] == 0.0
+    assert pr["density"] == 0.0 and pr["coverage"] == 0.0
+
+
+def test_precision_recall_separates_fidelity_from_coverage():
+    """Mode dropping hurts recall/coverage but not precision; off-manifold
+    samples hurt precision/density but not recall of the covered mode."""
+    from diffulab_tpu.training.evaluation import compute_precision_recall
+
+    rng = np.random.default_rng(2)
+    # real = two well-separated modes
+    mode_a = rng.normal(size=(200, 8))
+    mode_b = rng.normal(size=(200, 8)) + 50.0
+    real = np.concatenate([mode_a, mode_b])
+
+    # fake covers only mode A -> precision high, recall ~0.5
+    fake_dropped = rng.normal(size=(400, 8))
+    pr = compute_precision_recall(real, fake_dropped, k=3)
+    assert pr["precision"] > 0.8
+    assert 0.3 < pr["recall"] < 0.7
+    assert 0.3 < pr["coverage"] < 0.7
+
+    # fake = half mode A, half garbage -> precision ~0.5
+    garbage = rng.uniform(-200, 200, size=(200, 8))
+    fake_noisy = np.concatenate([rng.normal(size=(200, 8)), garbage])
+    pr2 = compute_precision_recall(real, fake_noisy, k=3)
+    assert pr2["precision"] < 0.7
