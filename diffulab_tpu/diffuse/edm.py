@@ -58,6 +58,11 @@ class EDM:
 
     # --- schedule ---------------------------------------------------------
     @property
+    def steps(self) -> int:
+        """Sampling step count, uniform across formalizations (Flow/Gaussian parity)."""
+        return self.n_steps
+
+    @property
     def timesteps(self) -> np.ndarray:
         """Karras sigma grid [n_steps+1], descending, final entry exactly 0."""
         i = np.arange(self.n_steps, dtype=np.float64)

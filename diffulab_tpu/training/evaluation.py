@@ -60,25 +60,35 @@ def compute_fid(real_features: np.ndarray, fake_features: np.ndarray) -> float:
 
 
 def _pairwise_sq_dists(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """Squared euclidean distances [N, M] between feature rows (fp64)."""
-    a = np.asarray(a, np.float64)
-    b = np.asarray(b, np.float64)
+    """Squared euclidean distances [N, M] between feature rows (fp32)."""
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
     a2 = (a * a).sum(axis=1)[:, None]
     b2 = (b * b).sum(axis=1)[None, :]
     return np.maximum(a2 + b2 - 2.0 * (a @ b.T), 0.0)
 
 
-def _knn_sq_radii(features: np.ndarray, k: int) -> np.ndarray:
-    """Per-point squared distance to its k-th nearest neighbor (self excluded)."""
-    d = _pairwise_sq_dists(features, features)
-    np.fill_diagonal(d, np.inf)
-    return np.partition(d, k - 1, axis=1)[:, k - 1]
+def _knn_sq_radii(features: np.ndarray, k: int, chunk: int = 2048) -> np.ndarray:
+    """Per-point squared distance to its k-th nearest neighbor (self excluded).
+
+    Streams row blocks so memory stays O(chunk * N) instead of O(N^2) — at
+    the standard 50k-sample FID protocol a dense matrix would be 20 GB.
+    """
+    features = np.asarray(features, np.float32)
+    n = len(features)
+    radii = np.empty(n, np.float32)
+    for start in range(0, n, chunk):
+        d = _pairwise_sq_dists(features[start:start + chunk], features)
+        d[np.arange(d.shape[0]), np.arange(start, start + d.shape[0])] = np.inf
+        radii[start:start + d.shape[0]] = np.partition(d, k - 1, axis=1)[:, k - 1]
+    return radii
 
 
 def compute_precision_recall(
     real_features: np.ndarray,
     fake_features: np.ndarray,
     k: int = 3,
+    chunk: int = 2048,
 ) -> dict[str, float]:
     """Improved precision/recall + density/coverage over feature manifolds.
 
@@ -91,17 +101,30 @@ def compute_precision_recall(
     k-NN balls only). All four diagnose what a single FID number conflates:
     fidelity collapse (low precision/density) vs mode dropping (low
     recall/coverage).
+
+    Cross-set distances stream in fake-row blocks (O(chunk * N) memory), so
+    50k-vs-50k protocols run on ordinary hosts.
     """
-    radii_real = _knn_sq_radii(real_features, k)
-    radii_fake = _knn_sq_radii(fake_features, k)
-    d_fr = _pairwise_sq_dists(fake_features, real_features)  # [M, N]
-    in_real_balls = d_fr <= radii_real[None, :]  # fake j inside real i's ball
-    precision = float(in_real_balls.any(axis=1).mean())
-    density = float(in_real_balls.sum(axis=1).mean() / k)
-    coverage = float((d_fr.min(axis=0) <= radii_real).mean())
-    recall = float((d_fr <= radii_fake[:, None]).any(axis=0).mean())
-    return {"precision": precision, "recall": recall,
-            "density": density, "coverage": coverage}
+    real_features = np.asarray(real_features, np.float32)
+    fake_features = np.asarray(fake_features, np.float32)
+    radii_real = _knn_sq_radii(real_features, k, chunk)
+    radii_fake = _knn_sq_radii(fake_features, k, chunk)
+    m, n = len(fake_features), len(real_features)
+    in_any_real = np.zeros(m, bool)          # precision: fake inside a real ball
+    ball_counts = np.zeros(m, np.int64)      # density: overlapping real balls
+    min_to_fake = np.full(n, np.inf, np.float32)  # coverage: per-real nearest fake
+    real_covered = np.zeros(n, bool)         # recall: real inside a fake ball
+    for start in range(0, m, chunk):
+        d = _pairwise_sq_dists(fake_features[start:start + chunk], real_features)
+        in_real_balls = d <= radii_real[None, :]
+        in_any_real[start:start + d.shape[0]] = in_real_balls.any(axis=1)
+        ball_counts[start:start + d.shape[0]] = in_real_balls.sum(axis=1)
+        np.minimum(min_to_fake, d.min(axis=0), out=min_to_fake)
+        real_covered |= (d <= radii_fake[start:start + d.shape[0], None]).any(axis=0)
+    return {"precision": float(in_any_real.mean()),
+            "recall": float(real_covered.mean()),
+            "density": float(ball_counts.mean() / k),
+            "coverage": float((min_to_fake <= radii_real).mean())}
 
 
 def extract_features(

@@ -119,7 +119,7 @@ def main() -> None:
             )
         texts = args.prompts.split("|")
         texts = (texts * ((args.n + len(texts) - 1) // len(texts)))[: args.n]
-        embedder.embed_host([""])  # cache the null embedding for CFG
+        # embed_host caches the CFG null embedding internally on first call
         cond["context"] = {k: jnp.asarray(v) for k, v in embedder.embed_host(texts).items()}
         print(f"prompts: {texts}")
     n_classes = cfg["model"].get("n_classes")

@@ -59,7 +59,12 @@ def make_handler(sampler: DeployedSampler):
                     if key not in req:
                         raise ValueError(f"missing conditioning input '{key}'")
                     arr = np.asarray(req[key], dtype=spec["dtype"])
-                    n = min(n, len(arr)) if arr.ndim else bsz
+                    if arr.ndim == len(spec["shape"]):
+                        arr = arr[None]  # a single row (e.g. {"y": 3}) -> batch of 1
+                    if arr.shape[1:] != tuple(spec["shape"]):
+                        raise ValueError(
+                            f"'{key}' rows must have shape {spec['shape']}, got {list(arr.shape[1:])}")
+                    n = min(n, len(arr))
                     if len(arr) > bsz:
                         raise ValueError(f"'{key}' has {len(arr)} rows > artifact batch {bsz}")
                     # pad to the artifact's static batch; trimmed on response

@@ -68,3 +68,24 @@ def test_deployed_sampler_validates_inputs(tmp_path):
         raise AssertionError("wrong batch must raise")
     except ValueError as e:
         assert "shape" in str(e)
+
+
+def test_export_edm_manifest(tmp_path):
+    """EDM exposes `steps` like the other formalizations (manifest regression)."""
+    import json
+
+    denoiser = MMDiT(
+        simple_dit=True, input_channels=3, inner_dim=64, embedding_dim=64,
+        num_heads=4, mlp_ratio=2, patch_size=2, depth=1, n_classes=10,
+        classifier_free=True, rngs=nnx.Rngs(0),
+    )
+    diffuser = Diffuser(denoiser, sampling_method="heun", model_type="edm", n_steps=4)
+    art = export_generate(
+        diffuser, {"y": jax.ShapeDtypeStruct((), jnp.int32)},
+        batch_size=2, image_shape=(8, 8, 3), out_dir=tmp_path / "edm",
+        guidance_scale=1.5,
+    )
+    manifest = json.loads((art / "manifest.json").read_text())
+    assert manifest["n_steps"] == 4
+    out = DeployedSampler(art)(seed=0, y=np.array([1, 2]))
+    assert out.shape == (2, 8, 8, 3) and np.isfinite(out).all()

@@ -92,3 +92,18 @@ def test_precision_recall_separates_fidelity_from_coverage():
     fake_noisy = np.concatenate([rng.normal(size=(200, 8)), garbage])
     pr2 = compute_precision_recall(real, fake_noisy, k=3)
     assert pr2["precision"] < 0.7
+
+
+def test_precision_recall_chunked_matches_dense():
+    """Streaming with a tiny chunk must reproduce the one-shot result, and
+    unequal set sizes must be handled (M != N)."""
+    from diffulab_tpu.training.evaluation import compute_precision_recall
+
+    rng = np.random.default_rng(3)
+    real = rng.normal(size=(257, 12))
+    fake = np.concatenate([rng.normal(size=(100, 12)),
+                           rng.normal(size=(83, 12)) + 3.0])
+    dense = compute_precision_recall(real, fake, k=3, chunk=4096)
+    chunked = compute_precision_recall(real, fake, k=3, chunk=17)
+    for key in dense:
+        np.testing.assert_allclose(chunked[key], dense[key], rtol=1e-6)
