@@ -53,8 +53,9 @@ class EDM:
     guidance_rescale: float = 0.0
 
     def __post_init__(self):
-        if self.sampling_method not in ("heun", "euler", "dpmpp_2m"):
-            raise ValueError("EDM sampling_method must be 'heun', 'euler', or 'dpmpp_2m'")
+        if self.sampling_method not in ("heun", "euler", "dpmpp_2m", "unipc"):
+            raise ValueError(
+                "EDM sampling_method must be 'heun', 'euler', 'dpmpp_2m', or 'unipc'")
 
     # --- schedule ---------------------------------------------------------
     @property
@@ -171,10 +172,63 @@ class EDM:
         'dpmpp_2m': multistep DPM-Solver++ on the VE (alpha = 1) schedule —
         2nd order at ONE eval per step using the previous data prediction
         threaded through ``sampler_args['state']``;
+        'unipc': UniPC-2/bh2 (arXiv:2302.04867) on the same VE schedule —
+        the DPM++(2M)-equivalent predictor plus a corrector that reuses each
+        step's fresh eval to refine the previous transition (still one eval
+        per step, locally 3rd-order; see samplers/flow.py::UniPC);
         'euler': 1st order.
         """
         b = x.shape[0]
         sig = jnp.full((b,), sigma, jnp.float32)
+
+        if self.sampling_method == "unipc":
+            state = (sampler_args or {})["state"]
+            m0 = self._denoised_cfg(model_fn, x, sig, cond, guidance_scale, use_cfg)
+            lam_curr = -jnp.log(jnp.maximum(sigma, 1e-12))
+            n_prev = state["n_prev"]
+            m_last = state["m_last"].astype(jnp.float32)
+
+            # UniC: correct the previous transition using this step's eval
+            hh_c = state["lam_last"] - lam_curr  # -h_c < 0
+            hh_c_safe = jnp.where(n_prev > 0, hh_c, -1.0)
+            phi1_c = jnp.expm1(hh_c_safe)
+            d1_t = m0 - m_last
+            r0c = (state["lam_last2"] - state["lam_last"]) / (-hh_c_safe)
+            r0c_safe = jnp.where(n_prev > 1, r0c, -1.0)
+            hk1 = phi1_c / hh_c_safe - 1.0
+            b1 = hk1 / phi1_c
+            b2 = (hk1 / hh_c_safe - 0.5) * 2.0 / phi1_c
+            det = jnp.where(jnp.abs(1.0 - r0c_safe) > 1e-8, 1.0 - r0c_safe, 1.0)
+            rho0 = (b1 - b2) / det
+            rho1 = (b2 - r0c_safe * b1) / det
+            d1_0 = (state["m_last2"].astype(jnp.float32) - m_last) / r0c_safe
+            corr = jnp.where(n_prev > 1, rho0 * d1_0 + rho1 * d1_t, 0.5 * d1_t)
+            x_corr = (
+                jnp.exp(hh_c_safe) * state["x_last"].astype(jnp.float32)
+                - phi1_c * m_last - phi1_c * corr
+            )
+            x_used = jnp.where(n_prev > 0, x_corr, x.astype(jnp.float32))
+
+            # UniP: order-2 predictor (== dpmpp_2m above when history exists)
+            hh = -jnp.log(sigma / jnp.maximum(sigma_next, 1e-12))  # -h < 0
+            phi1 = jnp.expm1(hh)
+            r0p = (state["lam_last"] - lam_curr) / (-hh)
+            r0p_safe = jnp.where(n_prev > 0, r0p, -1.0)
+            d1_p = (m_last - m0) / r0p_safe
+            base = jnp.exp(hh) * x_used - phi1 * m0
+            x_next = jnp.where(n_prev == 0, base, base - phi1 * 0.5 * d1_p)
+            return {
+                "x_prev": x_next.astype(x.dtype),
+                "estimated_x0": m0.astype(x.dtype),
+                "state": {
+                    "x_last": x_used.astype(x.dtype),
+                    "m_last": m0.astype(x.dtype),
+                    "m_last2": state["m_last"],
+                    "lam_last": lam_curr,
+                    "lam_last2": state["lam_last"],
+                    "n_prev": jnp.minimum(n_prev + 1, 2),
+                },
+            }
 
         if self.sampling_method == "dpmpp_2m":
             state = (sampler_args or {})["state"]
@@ -253,16 +307,24 @@ class EDM:
         # methods (Euler from sigma to 0 gives exactly D), which saves the
         # Heun corrector's wasted model eval at sigma = 0
         pairs = jnp.stack([ts[:-2], ts[1:-1]], axis=1)
-        multistep = self.sampling_method == "dpmpp_2m"
-        s_state0 = (
-            {
+        multistep = self.sampling_method in ("dpmpp_2m", "unipc")
+        if self.sampling_method == "dpmpp_2m":
+            s_state0 = {
                 "x0_prev": jnp.zeros_like(x),
                 "h_last": jnp.zeros((), jnp.float32),
                 "has_prev": jnp.zeros((), bool),
             }
-            if multistep
-            else {}
-        )
+        elif self.sampling_method == "unipc":
+            s_state0 = {
+                "x_last": jnp.zeros_like(x),
+                "m_last": jnp.zeros_like(x),
+                "m_last2": jnp.zeros_like(x),
+                "lam_last": jnp.zeros((), jnp.float32),
+                "lam_last2": jnp.zeros((), jnp.float32),
+                "n_prev": jnp.zeros((), jnp.int32),
+            }
+        else:
+            s_state0 = {}
 
         def body(carry, pair):
             x_t, step_rng, s_state = carry

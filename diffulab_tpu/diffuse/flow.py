@@ -36,7 +36,7 @@ import numpy as np
 
 from diffulab_tpu.diffuse.guidance import combine_cfg, effective_scale
 from diffulab_tpu.diffuse.samplers.common import StepResult
-from diffulab_tpu.diffuse.samplers.flow import DPMSolverPP2M, Euler, EulerMaruyama, Heun
+from diffulab_tpu.diffuse.samplers.flow import DPMSolverPP2M, Euler, EulerMaruyama, Heun, UniPC
 from diffulab_tpu.diffuse.schedules import flow_linear_timesteps, shift_timestep
 from diffulab_tpu.utils import batch_broadcast, flatten_nonbatch_mean
 
@@ -47,6 +47,7 @@ SAMPLER_REGISTRY = {
     "euler_maruyama": EulerMaruyama,
     "heun": Heun,
     "dpmpp_2m": DPMSolverPP2M,
+    "unipc": UniPC,
 }
 
 

@@ -30,6 +30,7 @@ from diffulab_tpu.diffuse.samplers.gaussian import (
     DDIM,
     DDPM,
     DPMSolverPPGaussian,
+    UniPCGaussian,
     discretized_gaussian_log_likelihood,
     normal_kl,
 )
@@ -46,6 +47,7 @@ SAMPLER_REGISTRY = {
     "ddpm": DDPM,
     "ddim": DDIM,
     "dpmpp_2m": DPMSolverPPGaussian,
+    "unipc": UniPCGaussian,
 }
 
 

@@ -1,5 +1,5 @@
 from diffulab_tpu.diffuse.samplers.common import FlowSampler, GaussianSampler, Sampler, StepResult
-from diffulab_tpu.diffuse.samplers.flow import Euler, EulerMaruyama, Heun
+from diffulab_tpu.diffuse.samplers.flow import Euler, EulerMaruyama, Heun, UniPC
 from diffulab_tpu.diffuse.samplers.gaussian import DDIM, DDPM
 
 __all__ = [
@@ -12,4 +12,5 @@ __all__ = [
     "GaussianSampler",
     "Sampler",
     "StepResult",
+    "UniPC",
 ]

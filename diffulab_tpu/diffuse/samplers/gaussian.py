@@ -328,6 +328,109 @@ class DPMSolverPPGaussian(DDPM):
         }
 
 
+@dataclasses.dataclass(frozen=True)
+class UniPCGaussian(DDPM):
+    """UniPC-2/bh2 (arXiv:2302.04867) over the discrete DDPM schedule.
+
+    Same VP parameterization as :class:`DPMSolverPPGaussian`
+    (``alpha = sqrt(alpha_bar)``, ``sigma = sqrt(1 - alpha_bar)``,
+    ``lambda = log(alpha/sigma)``) and the same per-sample broadcast shapes;
+    the added UniC corrector reuses each step's fresh model eval to refine
+    the previous transition before the order-2 predictor advances — still
+    one eval per step (see samplers/flow.py::UniPC for the flow sibling and
+    the coefficient derivation). x0 comes from the DDPM machinery, so all
+    mean types, learned-variance splits, and respacing compose unchanged.
+    """
+
+    name = "unipc"
+    is_multistep = True
+
+    def init_state(self, x: jax.Array) -> dict[str, jax.Array]:
+        bshape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        return {
+            "x_last": jnp.zeros_like(x),
+            "m_last": jnp.zeros_like(x),
+            "m_last2": jnp.zeros_like(x),
+            "lam_last": jnp.zeros(bshape, jnp.float32),
+            "lam_last2": jnp.zeros(bshape, jnp.float32),
+            "sig_last": jnp.ones(bshape, jnp.float32),
+            "n_prev": jnp.zeros((), jnp.int32),
+        }
+
+    def step(
+        self,
+        model_prediction: jax.Array,
+        timesteps: jax.Array,
+        xt: jax.Array,
+        *,
+        rng: jax.Array | None = None,
+        clamp_x: bool = False,
+        x_prev: jax.Array | None = None,
+        state: dict[str, jax.Array] | None = None,
+    ) -> StepResult:
+        del rng, x_prev
+        assert state is not None, "multistep sampler: denoise must thread init_state"
+        _, _, _, x0 = self._get_p_mean_var(model_prediction, xt, timesteps, clamp_x)
+        m0 = x0.astype(jnp.float32)
+
+        ab = extract_into_tensor(self.alphas_bar, timesteps, xt.ndim).astype(jnp.float32)
+        abp = extract_into_tensor(self.alphas_bar_prev, timesteps, xt.ndim).astype(jnp.float32)
+        eps_ = 1e-12
+        alpha_t, sigma_t = jnp.sqrt(ab), jnp.sqrt(jnp.maximum(1.0 - ab, eps_))
+        alpha_p, sigma_p = jnp.sqrt(abp), jnp.sqrt(jnp.maximum(1.0 - abp, 0.0))
+        lam_t = 0.5 * jnp.log(jnp.maximum(ab, eps_) / jnp.maximum(1.0 - ab, eps_))
+        lam_p = 0.5 * jnp.log(jnp.maximum(abp, eps_) / jnp.maximum(1.0 - abp, eps_))
+        n_prev = state["n_prev"]
+        m_last = state["m_last"].astype(jnp.float32)
+
+        # ---- UniC: correct the previous transition with this step's eval
+        hh_c = state["lam_last"] - lam_t  # -h_c < 0 once history exists
+        hh_c_safe = jnp.where(n_prev > 0, jnp.minimum(hh_c, -eps_), -1.0)
+        phi1_c = jnp.expm1(hh_c_safe)
+        d1_t = m0 - m_last
+        r0c = (state["lam_last2"] - state["lam_last"]) / (-hh_c_safe)
+        r0c_safe = jnp.where(n_prev > 1, r0c, -1.0)
+        hk1 = phi1_c / hh_c_safe - 1.0
+        b1 = hk1 / phi1_c
+        b2 = (hk1 / hh_c_safe - 0.5) * 2.0 / phi1_c
+        det = jnp.where(jnp.abs(1.0 - r0c_safe) > 1e-8, 1.0 - r0c_safe, 1.0)
+        rho0 = (b1 - b2) / det
+        rho1 = (b2 - r0c_safe * b1) / det
+        d1_0 = (state["m_last2"].astype(jnp.float32) - m_last) / r0c_safe
+        corr = jnp.where(n_prev > 1, rho0 * d1_0 + rho1 * d1_t, 0.5 * d1_t)
+        x_corr = (
+            (sigma_t / jnp.maximum(state["sig_last"], eps_)) * state["x_last"].astype(jnp.float32)
+            - alpha_t * phi1_c * m_last - alpha_t * phi1_c * corr
+        )
+        x_used = jnp.where(n_prev > 0, x_corr, xt.astype(jnp.float32))
+
+        # ---- UniP: order-2 predictor (== DPMSolverPPGaussian with history)
+        h = lam_p - lam_t
+        final = sigma_p <= eps_
+        r0p = (state["lam_last"] - lam_t) / jnp.maximum(h, eps_)
+        r0p_safe = jnp.where(n_prev > 0, jnp.minimum(r0p, -1e-8), -1.0)
+        d1_p = (m_last - m0) / r0p_safe
+        sig_ratio = jnp.where(final, 0.0, sigma_p / jnp.maximum(sigma_t, eps_))
+        em1 = jnp.where(final, -1.0, jnp.expm1(-h))
+        base = sig_ratio * x_used - alpha_p * em1 * m0
+        first_order = jnp.logical_or(n_prev == 0, final)
+        x_next = jnp.where(first_order, base, base - alpha_p * em1 * 0.5 * d1_p)
+
+        return {
+            "x_prev": x_next.astype(xt.dtype),
+            "estimated_x0": x0,
+            "state": {
+                "x_last": x_used.astype(xt.dtype),
+                "m_last": m0.astype(xt.dtype),
+                "m_last2": state["m_last"],
+                "lam_last": lam_t,
+                "lam_last2": state["lam_last"],
+                "sig_last": sigma_t,
+                "n_prev": jnp.minimum(n_prev + 1, 2),
+            },
+        }
+
+
 def _approx_standard_normal_cdf(x):
     return 0.5 * (1.0 + jnp.tanh(jnp.sqrt(2.0 / math.pi) * (x + 0.044715 * x**3)))
 

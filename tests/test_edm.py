@@ -162,3 +162,47 @@ def test_dpmpp_on_edm_beats_euler_and_single_eval():
         # single-eval per scan step + the final collapse eval (traced once each)
         assert calls["n"] == 2
     assert errs["dpmpp_2m"] < 0.6 * errs["euler"], errs
+
+
+def test_unipc_on_edm_exact_for_perfect_model():
+    rng = jax.random.key(4)
+    x0 = jax.random.normal(rng, (2, 8, 8, 1))
+    eps = jax.random.normal(jax.random.key(5), (2, 8, 8, 1))
+    edm = EDM(n_steps=12, sampling_method="unipc")
+    xT = x0 + edm.sigma_max * eps
+    out = edm.denoise(_perfect_F(x0), cond={}, rng=jax.random.key(6), x=xT)
+    np.testing.assert_allclose(np.asarray(out["x"]), np.asarray(x0), atol=1e-3, rtol=1e-3)
+
+
+def test_unipc_on_edm_beats_dpmpp_at_one_eval_per_step():
+    """The UniC corrector refines each transition at no extra model evals."""
+    u = jax.random.normal(jax.random.key(7), (2, 4, 4, 1))
+    calls = {"n": 0}
+
+    def curved_F(x, timesteps, cond, drop):
+        calls["n"] += 1
+        sigma = jnp.exp(4.0 * timesteps).reshape(-1, 1, 1, 1)
+        sd = 0.5
+        c_skip = sd**2 / (sigma**2 + sd**2)
+        c_out = sigma * sd / jnp.sqrt(sigma**2 + sd**2)
+        c_in = 1.0 / jnp.sqrt(sigma**2 + sd**2)
+        x_raw = x / c_in
+        target_d = jnp.cos(jnp.log1p(sigma)) * u + 0.8 * jnp.tanh(0.5 * x_raw)
+        return {"x": (target_d - c_skip * x_raw) / c_out}
+
+    eps = jax.random.normal(jax.random.key(8), (2, 4, 4, 1))
+    xT = 80.0 * eps
+    truth = np.asarray(
+        EDM(n_steps=1000, sampling_method="heun").denoise(
+            curved_F, cond={}, rng=jax.random.key(9), x=xT
+        )["x"]
+    )
+    errs = {}
+    for method in ("euler", "dpmpp_2m", "unipc"):
+        calls["n"] = 0
+        out = EDM(n_steps=24, sampling_method=method).denoise(
+            curved_F, cond={}, rng=jax.random.key(9), x=xT
+        )
+        errs[method] = float(np.abs(np.asarray(out["x"]) - truth).max())
+        assert calls["n"] == 2  # one eval per scan step + the final collapse
+    assert errs["unipc"] < errs["dpmpp_2m"], errs
