@@ -138,7 +138,8 @@ class Diffuser:
         latent_scale = self.latent_scale if decode else None
         latent_bias = self.latent_bias if decode else None
 
-        def sample(graphdef, tower_graphdef, state, tower_state, rng, cond, x, guidance_scale):
+        def sample(graphdef, tower_graphdef, state, tower_state, rng, cond, x,
+                   guidance_scale, inpaint=None):
             m = nnx.merge(graphdef, state)
 
             def model_fn(**kw):
@@ -149,6 +150,7 @@ class Diffuser:
                 data_shape=data_shape, x=x, clamp_x=clamp_x,
                 guidance_scale=guidance_scale, use_cfg=use_cfg,
                 return_intermediates=return_intermediates, dtype=dtype,
+                inpaint=inpaint,
             )
             if decode:
                 tower = nnx.merge(tower_graphdef, tower_state)
@@ -168,6 +170,7 @@ class Diffuser:
         return_intermediates: bool = False,
         return_latents: bool = False,
         dtype: jnp.dtype = jnp.float32,
+        inpaint: dict[str, Any] | None = None,
     ) -> dict[str, jax.Array]:
         """Generate samples through a cached jitted sampler; in latent mode the
         vision-tower decode (x / latent_scale + latent_bias, reference
@@ -177,6 +180,11 @@ class Diffuser:
         decode, dtype) configuration; subsequent calls — including with
         updated or EMA-swapped parameters and different guidance strengths —
         reuse the executable.
+
+        ``inpaint`` = ``{"known": array, "mask": array (1 = keep known)}``
+        enables sampling-time inpainting; both live in the space the reverse
+        process integrates over (latent space when a vision tower is
+        configured — encode pixels through ``vision_tower.encode`` first).
         """
         from flax import nnx
 
@@ -185,7 +193,7 @@ class Diffuser:
         shape = tuple(data_shape) if (x is None and data_shape is not None) else None
         key = (
             shape, x is None, clamp_x, use_cfg, return_intermediates, decode,
-            jnp.dtype(dtype).name,
+            jnp.dtype(dtype).name, inpaint is not None,
         )
         sample = self._generate_cache.get(key)
         if sample is None:
@@ -198,7 +206,10 @@ class Diffuser:
         tower_graphdef = tower_state = None
         if decode:
             tower_graphdef, tower_state = nnx.split(self.vision_tower)
+        if inpaint is not None:
+            inpaint = {"known": jnp.asarray(inpaint["known"]),
+                       "mask": jnp.asarray(inpaint["mask"])}
         return sample(
             graphdef, tower_graphdef, state, tower_state, rng, cond, x,
-            jnp.asarray(guidance_scale, jnp.float32),
+            jnp.asarray(guidance_scale, jnp.float32), inpaint,
         )

@@ -294,9 +294,15 @@ class EDM:
         use_cfg: bool = False,
         return_intermediates: bool = False,
         dtype: jnp.dtype = jnp.float32,
+        inpaint: dict[str, jax.Array] | None = None,
     ) -> dict[str, jax.Array]:
         """Full Karras reverse ODE as one `lax.scan`. Initial noise is scaled
-        by sigma_max (EDM prior: x_T ~ N(0, sigma_max^2 I))."""
+        by sigma_max (EDM prior: x_T ~ N(0, sigma_max^2 I)).
+
+        ``inpaint`` = ``{"known": x0-like, "mask": 1 = keep}`` blends
+        ``known + sigma * noise`` after every step (RePaint-lite; see
+        flow.py::denoise) and the clean known after the final collapse.
+        """
         if x is None:
             assert data_shape is not None, "'data_shape' must be provided if 'x' is not given"
             rng, init_rng = jax.random.split(rng)
@@ -336,14 +342,25 @@ class EDM:
                 sampler_args={"state": s_state} if multistep else None,
             )
             s_state = step.pop("state", s_state)
+            x_next = step["x_prev"]
+            if inpaint is not None:
+                step_rng, ip_rng = jax.random.split(step_rng)
+                known = inpaint["known"].astype(x_next.dtype)
+                noise = jax.random.normal(ip_rng, known.shape, dtype=x_next.dtype)
+                mask = inpaint["mask"].astype(x_next.dtype)
+                x_next = mask * (known + pair[1] * noise) + (1.0 - mask) * x_next
+                step["x_prev"] = x_next
             ys = {k: step[k] for k in step} if return_intermediates else None
-            return (step["x_prev"].astype(x_t.dtype), step_rng, s_state), ys
+            return (x_next.astype(x_t.dtype), step_rng, s_state), ys
 
         (x_last, _, _), ys = jax.lax.scan(body, (x, rng, s_state0), pairs)
         sig_last = jnp.full((x.shape[0],), ts[-2], jnp.float32)
         x_final = self._denoised_cfg(
             model_fn, x_last, sig_last, cond, guidance_scale, use_cfg
         ).astype(x.dtype)
+        if inpaint is not None:
+            mask = inpaint["mask"].astype(x_final.dtype)
+            x_final = mask * inpaint["known"].astype(x_final.dtype) + (1.0 - mask) * x_final
         if clamp_x:
             x_final = jnp.clip(x_final, -1.0, 1.0)
         out: dict[str, jax.Array] = {"x": x_final}

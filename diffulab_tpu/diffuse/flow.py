@@ -246,6 +246,7 @@ class Flow:
         use_cfg: bool = False,
         return_intermediates: bool = False,
         dtype: jnp.dtype = jnp.float32,
+        inpaint: dict[str, jax.Array] | None = None,
     ) -> dict[str, jax.Array]:
         """Full reverse flow as one `lax.scan` (reference loop: flow.py:484-508).
 
@@ -253,6 +254,16 @@ class Flow:
         ``return_intermediates`` also ``xt`` [B, steps+1, ...], ``estimated_x0``
         [B, steps, ...], and (for stochastic samplers) ``xt_mean``/``xt_std``/
         ``logprob``.
+
+        ``inpaint`` = ``{"known": x0-like, "mask": broadcastable, 1 = keep}``
+        enables sampling-time inpainting (RePaint-style known-region blending,
+        arXiv:2201.09865 without the resampling loop; no reference
+        counterpart): after every step the known region is replaced by the
+        forward-noised known image at the step's result time, and the final
+        output blends the clean known exactly. Works with any trained
+        checkpoint and any sampler (the deterministic ones restart the known
+        region's trajectory each step, which is the standard RePaint-lite
+        approximation).
         """
         if x is None:
             assert data_shape is not None, "'data_shape' must be provided if 'x' is not given"
@@ -276,13 +287,25 @@ class Flow:
                 sampler_args={"state": s_state} if multistep else None,
             )
             s_state = step.pop("state", s_state)
+            x_next = step["x_prev"]
+            if inpaint is not None:
+                step_rng, ip_rng = jax.random.split(step_rng)
+                known = inpaint["known"].astype(x_next.dtype)
+                noise = jax.random.normal(ip_rng, known.shape, dtype=x_next.dtype)
+                known_t = (1.0 - t_prev) * known + t_prev * noise
+                mask = inpaint["mask"].astype(x_next.dtype)
+                x_next = mask * known_t + (1.0 - mask) * x_next
+                step["x_prev"] = x_next
             ys = None
             if return_intermediates:
                 ys = {k: step[k] for k in step}
             # keep the carry dtype stable (fp32 schedule scalars promote bf16 x)
-            return (step["x_prev"].astype(x_t.dtype), step_rng, s_state), ys
+            return (x_next.astype(x_t.dtype), step_rng, s_state), ys
 
         (x_final, _, _), ys = jax.lax.scan(body, (x, rng, s_state0), t_pairs)
+        if inpaint is not None:
+            mask = inpaint["mask"].astype(x_final.dtype)
+            x_final = mask * inpaint["known"].astype(x_final.dtype) + (1.0 - mask) * x_final
         if clamp_x:
             x_final = jnp.clip(x_final, -1.0, 1.0)
 

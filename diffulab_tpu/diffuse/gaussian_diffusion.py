@@ -359,9 +359,15 @@ class GaussianDiffusion:
         use_cfg: bool = False,
         return_intermediates: bool = False,
         dtype: jnp.dtype = jnp.float32,
+        inpaint: dict[str, jax.Array] | None = None,
     ) -> dict[str, jax.Array]:
         """Full ancestral/DDIM reverse process as one `lax.scan`
-        (reference Python loop: gaussian_diffusion.py:409-434)."""
+        (reference Python loop: gaussian_diffusion.py:409-434).
+
+        ``inpaint`` = ``{"known": x0-like, "mask": 1 = keep}`` blends the
+        q-sampled known region after every step (RePaint-lite; see
+        flow.py::denoise for the convention) using the respaced tables.
+        """
         if x is None:
             assert data_shape is not None, "'data_shape' must be provided if 'x' is not given"
             rng, init_rng = jax.random.split(rng)
@@ -370,6 +376,8 @@ class GaussianDiffusion:
         t_indices = jnp.arange(self.steps - 1, -1, -1, dtype=jnp.int32)
         multistep = getattr(self.sampler, "is_multistep", False)
         s_state0 = self.sampler.init_state(x) if multistep else {}
+        sqrt_ab = jnp.asarray(self.sqrt_alphas_bar, jnp.float32)
+        ab = jnp.asarray(self.alphas_bar, jnp.float32)
 
         def body(carry, t):
             x_t, step_rng, s_state = carry
@@ -381,11 +389,28 @@ class GaussianDiffusion:
                 sampler_args={"state": s_state} if multistep else None,
             )
             s_state = step.pop("state", s_state)
+            x_next = step["x_prev"]
+            if inpaint is not None:
+                # the step's result sits at index t-1 (clean x0 when t == 0)
+                step_rng, ip_rng = jax.random.split(step_rng)
+                known = inpaint["known"].astype(jnp.float32)
+                noise = jax.random.normal(ip_rng, known.shape, dtype=jnp.float32)
+                tp = jnp.maximum(t - 1, 0)
+                known_t = jnp.where(
+                    t > 0, sqrt_ab[tp] * known + jnp.sqrt(1.0 - ab[tp]) * noise, known
+                )
+                mask = inpaint["mask"].astype(jnp.float32)
+                x_next = (mask * known_t + (1.0 - mask) * x_next.astype(jnp.float32)).astype(
+                    x_next.dtype)
+                step["x_prev"] = x_next
             ys = {k: step[k] for k in step} if return_intermediates else None
             # keep the carry dtype stable (fp32 table scalars promote bf16 x)
-            return (step["x_prev"].astype(x_t.dtype), step_rng, s_state), ys
+            return (x_next.astype(x_t.dtype), step_rng, s_state), ys
 
         (x_final, _, _), ys = jax.lax.scan(body, (x, rng, s_state0), t_indices)
+        if inpaint is not None:
+            mask = inpaint["mask"].astype(x_final.dtype)
+            x_final = mask * inpaint["known"].astype(x_final.dtype) + (1.0 - mask) * x_final
 
         out: dict[str, jax.Array] = {"x": x_final}
         if return_intermediates and ys is not None:

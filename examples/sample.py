@@ -52,6 +52,10 @@ def main() -> None:
     parser.add_argument("--prompts", default=None,
                         help="'|'-separated text prompts (HF text-embedder configs)")
     parser.add_argument("--out", default="samples.png")
+    parser.add_argument("--inpaint-image", default=None,
+                        help="PNG whose content is kept outside --inpaint-box")
+    parser.add_argument("--inpaint-box", default=None,
+                        help="'y0:y1,x0:x1' pixel region to REGENERATE (rest is kept)")
     parser.add_argument("--separate", action="store_true", help="also write per-image PNGs")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("overrides", nargs="*")
@@ -132,10 +136,41 @@ def main() -> None:
         cond["y"] = jnp.asarray(labels)
         print(f"labels: {labels.tolist()}")
 
+    inpaint = None
+    if args.inpaint_image:
+        from PIL import Image
+
+        if not args.inpaint_box:
+            raise SystemExit("--inpaint-image requires --inpaint-box y0:y1,x0:x1")
+        px = args.image_size or ds_cfg.get("image_size", 32)
+        img = Image.open(args.inpaint_image).convert("RGB" if channels >= 3 else "L")
+        img = img.resize((px, px))
+        known_px = np.asarray(img, np.float32) / 127.5 - 1.0
+        if known_px.ndim == 2:
+            known_px = known_px[..., None]
+        known_px = np.broadcast_to(known_px, (args.n, px, px, known_px.shape[-1]))
+        ys, xs = args.inpaint_box.split(",")
+        y0, y1 = (int(v) for v in ys.split(":"))
+        x0, x1 = (int(v) for v in xs.split(":"))
+        mask_px = np.ones((args.n, px, px, 1), np.float32)  # 1 = keep known
+        mask_px[:, y0:y1, x0:x1, :] = 0.0
+        if vision_tower is not None:
+            # the reverse process runs in latent space: encode the known image
+            # and pool the keep-mask onto the latent grid (a latent is kept
+            # only when its whole receptive field is known)
+            f = vision_tower.compression_factor
+            known = np.asarray(vision_tower.encode(jnp.asarray(known_px)))
+            m = mask_px.reshape(args.n, px // f, f, px // f, f, 1).min(axis=(2, 4))
+            inpaint = {"known": known, "mask": m}
+        else:
+            inpaint = {"known": known_px, "mask": mask_px}
+        print(f"inpainting {args.inpaint_image}, regenerating [{y0}:{y1}, {x0}:{x1}]")
+
     out = diffuser.generate(
         jax.random.key(args.seed), cond,
         data_shape=(args.n, size, size, channels),
         guidance_scale=args.guidance, clamp_x=True,
+        inpaint=inpaint,
     )
     images = np.clip(np.asarray(out["x"], np.float32) * 0.5 + 0.5, 0, 1)
 
