@@ -123,6 +123,7 @@ class Diffuser:
         return_intermediates: bool,
         decode: bool,
         dtype: jnp.dtype,
+        img2img_strength: float = 1.0,
     ) -> Callable[..., Any]:
         """One jitted reverse-process fn for a static sampling configuration.
 
@@ -139,7 +140,7 @@ class Diffuser:
         latent_bias = self.latent_bias if decode else None
 
         def sample(graphdef, tower_graphdef, state, tower_state, rng, cond, x,
-                   guidance_scale, inpaint=None):
+                   guidance_scale, inpaint=None, img2img_init=None):
             m = nnx.merge(graphdef, state)
 
             def model_fn(**kw):
@@ -151,6 +152,7 @@ class Diffuser:
                 guidance_scale=guidance_scale, use_cfg=use_cfg,
                 return_intermediates=return_intermediates, dtype=dtype,
                 inpaint=inpaint,
+                img2img_init=img2img_init, img2img_strength=img2img_strength,
             )
             if decode:
                 tower = nnx.merge(tower_graphdef, tower_state)
@@ -171,6 +173,7 @@ class Diffuser:
         return_latents: bool = False,
         dtype: jnp.dtype = jnp.float32,
         inpaint: dict[str, Any] | None = None,
+        img2img: dict[str, Any] | None = None,
     ) -> dict[str, jax.Array]:
         """Generate samples through a cached jitted sampler; in latent mode the
         vision-tower decode (x / latent_scale + latent_bias, reference
@@ -185,20 +188,26 @@ class Diffuser:
         enables sampling-time inpainting; both live in the space the reverse
         process integrates over (latent space when a vision tower is
         configured — encode pixels through ``vision_tower.encode`` first).
+        ``img2img`` = ``{"init": array, "strength": float in (0, 1]}`` starts
+        from the forward-noised init and runs only the schedule's last
+        ``strength`` fraction (SDEdit; one compile per strength value).
         """
         from flax import nnx
 
         use_cfg = guidance_scale > 0
         decode = self.vision_tower is not None and not return_latents
         shape = tuple(data_shape) if (x is None and data_shape is not None) else None
+        strength = float(img2img.get("strength", 0.8)) if img2img is not None else 1.0
         key = (
             shape, x is None, clamp_x, use_cfg, return_intermediates, decode,
             jnp.dtype(dtype).name, inpaint is not None,
+            img2img is not None, strength,
         )
         sample = self._generate_cache.get(key)
         if sample is None:
             sample = self._build_sample_fn(
-                shape, clamp_x, use_cfg, return_intermediates, decode, dtype
+                shape, clamp_x, use_cfg, return_intermediates, decode, dtype,
+                img2img_strength=strength,
             )
             self._generate_cache[key] = sample
 
@@ -209,7 +218,8 @@ class Diffuser:
         if inpaint is not None:
             inpaint = {"known": jnp.asarray(inpaint["known"]),
                        "mask": jnp.asarray(inpaint["mask"])}
+        init = jnp.asarray(img2img["init"]) if img2img is not None else None
         return sample(
             graphdef, tower_graphdef, state, tower_state, rng, cond, x,
-            jnp.asarray(guidance_scale, jnp.float32), inpaint,
+            jnp.asarray(guidance_scale, jnp.float32), inpaint, init,
         )

@@ -295,6 +295,8 @@ class EDM:
         return_intermediates: bool = False,
         dtype: jnp.dtype = jnp.float32,
         inpaint: dict[str, jax.Array] | None = None,
+        img2img_init: jax.Array | None = None,
+        img2img_strength: float = 1.0,
     ) -> dict[str, jax.Array]:
         """Full Karras reverse ODE as one `lax.scan`. Initial noise is scaled
         by sigma_max (EDM prior: x_T ~ N(0, sigma_max^2 I)).
@@ -302,17 +304,28 @@ class EDM:
         ``inpaint`` = ``{"known": x0-like, "mask": 1 = keep}`` blends
         ``known + sigma * noise`` after every step (RePaint-lite; see
         flow.py::denoise) and the clean known after the final collapse.
+        ``img2img_init`` + ``img2img_strength`` start from
+        ``init + sigma_start * noise`` at the grid entry ``1 - strength`` of
+        the way in and run only that tail (SDEdit; see flow.py::denoise).
         """
+        ts_np = self.timesteps  # host sigma grid: slicing below is static
+        start_idx = 0
+        if img2img_init is not None:
+            k = min(max(int(round(img2img_strength * self.n_steps)), 1), self.n_steps)
+            start_idx = self.n_steps - k
+            rng, init_rng = jax.random.split(rng)
+            noise = jax.random.normal(init_rng, img2img_init.shape, dtype=dtype)
+            x = img2img_init.astype(dtype) + float(ts_np[start_idx]) * noise
         if x is None:
             assert data_shape is not None, "'data_shape' must be provided if 'x' is not given"
             rng, init_rng = jax.random.split(rng)
             x = jax.random.normal(init_rng, data_shape, dtype=dtype) * self.sigma_max
-        ts = jnp.asarray(self.timesteps)
+        ts = jnp.asarray(ts_np)
         # all but the final (sigma_min -> 0) interval run through the solver;
         # the final step is the exact collapse x -> D(x; sigma_min) for BOTH
         # methods (Euler from sigma to 0 gives exactly D), which saves the
         # Heun corrector's wasted model eval at sigma = 0
-        pairs = jnp.stack([ts[:-2], ts[1:-1]], axis=1)
+        pairs = jnp.stack([ts[:-2], ts[1:-1]], axis=1)[start_idx:]
         multistep = self.sampling_method in ("dpmpp_2m", "unipc")
         if self.sampling_method == "dpmpp_2m":
             s_state0 = {

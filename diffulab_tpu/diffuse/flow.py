@@ -247,6 +247,8 @@ class Flow:
         return_intermediates: bool = False,
         dtype: jnp.dtype = jnp.float32,
         inpaint: dict[str, jax.Array] | None = None,
+        img2img_init: jax.Array | None = None,
+        img2img_strength: float = 1.0,
     ) -> dict[str, jax.Array]:
         """Full reverse flow as one `lax.scan` (reference loop: flow.py:484-508).
 
@@ -264,14 +266,30 @@ class Flow:
         checkpoint and any sampler (the deterministic ones restart the known
         region's trajectory each step, which is the standard RePaint-lite
         approximation).
+
+        ``img2img_init`` + ``img2img_strength`` enable SDEdit-style editing
+        (arXiv:2108.01073; no reference counterpart): the init image is
+        forward-noised to the schedule entry at ``1 - strength`` of the grid
+        and only that tail of the reverse process runs — ``strength`` must be
+        a static Python float (it slices the scanned schedule).
         """
+        ts_np = self.timesteps  # host schedule: slicing below is static
+        n_total = len(ts_np) - 1
+        start_idx = 0
+        if img2img_init is not None:
+            k = min(max(int(round(img2img_strength * n_total)), 1), n_total)
+            start_idx = n_total - k
+            rng, init_rng = jax.random.split(rng)
+            t0 = float(ts_np[start_idx])
+            noise = jax.random.normal(init_rng, img2img_init.shape, dtype=dtype)
+            x = (1.0 - t0) * img2img_init.astype(dtype) + t0 * noise
         if x is None:
             assert data_shape is not None, "'data_shape' must be provided if 'x' is not given"
             rng, init_rng = jax.random.split(rng)
             x = jax.random.normal(init_rng, data_shape, dtype=dtype)
 
-        ts = jnp.asarray(self.timesteps)
-        t_pairs = jnp.stack([ts[:-1], ts[1:]], axis=1)  # [steps, 2]
+        ts = jnp.asarray(ts_np)
+        t_pairs = jnp.stack([ts[:-1], ts[1:]], axis=1)[start_idx:]  # [steps, 2]
         stochastic = isinstance(self.sampler, EulerMaruyama)
         multistep = getattr(self.sampler, "is_multistep", False)
         s_state0 = self.sampler.init_state(x) if multistep else {}

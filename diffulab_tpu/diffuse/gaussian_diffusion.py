@@ -360,6 +360,8 @@ class GaussianDiffusion:
         return_intermediates: bool = False,
         dtype: jnp.dtype = jnp.float32,
         inpaint: dict[str, jax.Array] | None = None,
+        img2img_init: jax.Array | None = None,
+        img2img_strength: float = 1.0,
     ) -> dict[str, jax.Array]:
         """Full ancestral/DDIM reverse process as one `lax.scan`
         (reference Python loop: gaussian_diffusion.py:409-434).
@@ -367,13 +369,24 @@ class GaussianDiffusion:
         ``inpaint`` = ``{"known": x0-like, "mask": 1 = keep}`` blends the
         q-sampled known region after every step (RePaint-lite; see
         flow.py::denoise for the convention) using the respaced tables.
+        ``img2img_init`` + ``img2img_strength`` q-sample the init at the
+        respaced index ``ceil(strength * steps) - 1`` and run only that tail
+        (SDEdit; see flow.py::denoise).
         """
+        start = self.steps - 1
+        if img2img_init is not None:
+            k = min(max(int(round(img2img_strength * self.steps)), 1), self.steps)
+            start = k - 1
+            rng, init_rng = jax.random.split(rng)
+            noise = jax.random.normal(init_rng, img2img_init.shape, dtype=dtype)
+            x, _ = self.add_noise(
+                img2img_init.astype(dtype), jnp.full((len(img2img_init),), start), noise)
         if x is None:
             assert data_shape is not None, "'data_shape' must be provided if 'x' is not given"
             rng, init_rng = jax.random.split(rng)
             x = jax.random.normal(init_rng, data_shape, dtype=dtype)
 
-        t_indices = jnp.arange(self.steps - 1, -1, -1, dtype=jnp.int32)
+        t_indices = jnp.arange(start, -1, -1, dtype=jnp.int32)
         multistep = getattr(self.sampler, "is_multistep", False)
         s_state0 = self.sampler.init_state(x) if multistep else {}
         sqrt_ab = jnp.asarray(self.sqrt_alphas_bar, jnp.float32)

@@ -127,6 +127,40 @@ def compute_precision_recall(
             "coverage": float((min_to_fake <= radii_real).mean())}
 
 
+def compute_kid(
+    real_features: np.ndarray,
+    fake_features: np.ndarray,
+    subset_size: int = 1000,
+    n_subsets: int = 100,
+    seed: int = 0,
+) -> dict[str, float]:
+    """Kernel Inception Distance (Binkowski et al., arXiv:1801.01401).
+
+    Unbiased MMD^2 with the polynomial kernel k(x, y) = (x.y / d + 1)^3,
+    averaged over ``n_subsets`` random subsets of ``subset_size`` — unlike
+    FID, the estimator is unbiased, so it ranks models reliably at small
+    sample counts where FID's bias dominates. Returns mean and the standard
+    error across subsets (deterministic per seed).
+    """
+    real = np.asarray(real_features, np.float64)
+    fake = np.asarray(fake_features, np.float64)
+    d = real.shape[1]
+    m = min(subset_size, len(real), len(fake))
+    rng = np.random.default_rng(seed)
+    scores = np.empty(n_subsets)
+    for i in range(n_subsets):
+        xr = real[rng.choice(len(real), m, replace=False)]
+        xf = fake[rng.choice(len(fake), m, replace=False)]
+        k_rr = (xr @ xr.T / d + 1.0) ** 3
+        k_ff = (xf @ xf.T / d + 1.0) ** 3
+        k_rf = (xr @ xf.T / d + 1.0) ** 3
+        sum_rr = (k_rr.sum() - np.trace(k_rr)) / (m * (m - 1))
+        sum_ff = (k_ff.sum() - np.trace(k_ff)) / (m * (m - 1))
+        scores[i] = sum_rr + sum_ff - 2.0 * k_rf.mean()
+    return {"kid": float(scores.mean()),
+            "kid_std": float(scores.std() / np.sqrt(n_subsets))}
+
+
 def extract_features(
     images: Iterable[np.ndarray],
     feature_fn: FeatureFn,

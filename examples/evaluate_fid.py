@@ -35,6 +35,7 @@ from diffulab_tpu.training.checkpoint import restore_train_modules
 from diffulab_tpu.training.trainer import _TrainModules
 from diffulab_tpu.training.evaluation import (
     compute_fid,
+    compute_kid,
     compute_precision_recall,
     extract_features,
 )
@@ -206,16 +207,20 @@ def main() -> None:
         ref_feats = val_feats[:n] if n < len(val_feats) else val_feats
         fid = compute_fid(ref_feats, fake_feats)
         pr = compute_precision_recall(ref_feats, fake_feats)
+        kid = compute_kid(ref_feats, fake_feats, seed=args.seed)
         print(f"FID(val, model samples)   = {fid:.3f}  [{ckpt}]")
         print(
             "precision/recall (k=3)    = %.3f / %.3f   density/coverage = %.3f / %.3f"
             % (pr["precision"], pr["recall"], pr["density"], pr["coverage"])
         )
+        print("KID x 1000                = %.3f +- %.3f (unbiased)"
+              % (kid["kid"] * 1e3, kid["kid_std"] * 1e3))
         print(
             '{"metric": "fid_synthetic", "value": %.3f, "floor": %.3f, "ceiling": %.3f, '
-            '"precision": %.3f, "recall": %.3f, "density": %.3f, "coverage": %.3f, "ckpt": "%s"}'
+            '"precision": %.3f, "recall": %.3f, "density": %.3f, "coverage": %.3f, '
+            '"kid_x1000": %.3f, "ckpt": "%s"}'
             % (fid, fid_floor, fid_ceiling, pr["precision"], pr["recall"],
-               pr["density"], pr["coverage"], ckpt)
+               pr["density"], pr["coverage"], kid["kid"] * 1e3, ckpt)
         )
 
 

@@ -56,6 +56,10 @@ def main() -> None:
                         help="PNG whose content is kept outside --inpaint-box")
     parser.add_argument("--inpaint-box", default=None,
                         help="'y0:y1,x0:x1' pixel region to REGENERATE (rest is kept)")
+    parser.add_argument("--img2img-image", default=None,
+                        help="PNG to edit (SDEdit): noised to --strength and denoised")
+    parser.add_argument("--strength", type=float, default=0.6,
+                        help="img2img noise strength in (0, 1]: fraction of the schedule run")
     parser.add_argument("--separate", action="store_true", help="also write per-image PNGs")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("overrides", nargs="*")
@@ -166,11 +170,26 @@ def main() -> None:
             inpaint = {"known": known_px, "mask": mask_px}
         print(f"inpainting {args.inpaint_image}, regenerating [{y0}:{y1}, {x0}:{x1}]")
 
+    img2img = None
+    if args.img2img_image:
+        from PIL import Image
+
+        px = args.image_size or ds_cfg.get("image_size", 32)
+        img = Image.open(args.img2img_image).convert("RGB" if channels >= 3 else "L")
+        init_px = np.asarray(img.resize((px, px)), np.float32) / 127.5 - 1.0
+        if init_px.ndim == 2:
+            init_px = init_px[..., None]
+        init = np.broadcast_to(init_px, (args.n, px, px, init_px.shape[-1]))
+        if vision_tower is not None:
+            init = np.asarray(vision_tower.encode(jnp.asarray(init)))
+        img2img = {"init": init, "strength": args.strength}
+        print(f"img2img from {args.img2img_image} at strength {args.strength}")
+
     out = diffuser.generate(
         jax.random.key(args.seed), cond,
         data_shape=(args.n, size, size, channels),
         guidance_scale=args.guidance, clamp_x=True,
-        inpaint=inpaint,
+        inpaint=inpaint, img2img=img2img,
     )
     images = np.clip(np.asarray(out["x"], np.float32) * 0.5 + 0.5, 0, 1)
 

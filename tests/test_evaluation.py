@@ -107,3 +107,35 @@ def test_precision_recall_chunked_matches_dense():
     chunked = compute_precision_recall(real, fake, k=3, chunk=17)
     for key in dense:
         np.testing.assert_allclose(chunked[key], dense[key], rtol=1e-6)
+
+
+def test_kid_zero_for_identical_distributions():
+    from diffulab_tpu.training.evaluation import compute_kid
+
+    rng = np.random.default_rng(0)
+    real = rng.normal(size=(2000, 16))
+    fake = rng.normal(size=(2000, 16))  # same distribution, different draws
+    kid = compute_kid(real, fake, subset_size=500, n_subsets=20)
+    # unbiased estimator: mean ~ 0 within a few standard errors
+    assert abs(kid["kid"]) < 5 * max(kid["kid_std"], 1e-6)
+
+
+def test_kid_monotone_in_shift_and_positive_when_different():
+    from diffulab_tpu.training.evaluation import compute_kid
+
+    rng = np.random.default_rng(1)
+    real = rng.normal(size=(1000, 8))
+    small = compute_kid(real, real + 0.3, subset_size=400, n_subsets=10)["kid"]
+    big = compute_kid(real, real + 2.0, subset_size=400, n_subsets=10)["kid"]
+    assert 0 < small < big
+
+
+def test_kid_deterministic_per_seed():
+    from diffulab_tpu.training.evaluation import compute_kid
+
+    rng = np.random.default_rng(2)
+    real = rng.normal(size=(500, 8))
+    fake = rng.normal(size=(500, 8)) + 0.5
+    a = compute_kid(real, fake, subset_size=200, n_subsets=5, seed=7)
+    b = compute_kid(real, fake, subset_size=200, n_subsets=5, seed=7)
+    assert a == b
