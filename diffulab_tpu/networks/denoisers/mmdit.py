@@ -437,6 +437,7 @@ class MMDiT(Denoiser):
         n_experts: int = 8,
         capacity_factor: float = 2.0,
         pipeline_microbatches: int | None = None,
+        augment_dim: int = 0,
         attention_dtype: Any = None,
         mlp_dtype: Any = None,
         stream_dtype: Any = None,
@@ -522,6 +523,15 @@ class MMDiT(Denoiser):
         self.mlp_pooled_context = nnx.data(mlp_pooled)
         self.label_embed = nnx.data(label_embed)
         self.context_embed = nnx.data(context_embed)
+        # non-leaky augmentation conditioning (diffuse/augment.py): zero-init
+        # and bias-free, so training starts unperturbed and an absent label
+        # vector at sampling time is exactly the zero-label path
+        self.augment_embed = nnx.data(
+            nnx.Linear(augment_dim, embedding_dim, use_bias=False,
+                       kernel_init=nnx.initializers.zeros_init(),
+                       dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+            if augment_dim > 0 else None
+        )
 
         self.rope_axes_dim = list(rope_axes_dim)
         self.last_layer = ModulatedLastLayer(embedding_dim, inner_dim, patch_size,
@@ -608,10 +618,14 @@ class MMDiT(Denoiser):
         return _block_remat(layer, *args)
 
     # --- forward paths -------------------------------------------------------
-    def _mmdit_forward(self, x, grid_size, timesteps, context_raw, drop, capture_features):
+    def _mmdit_forward(self, x, grid_size, timesteps, context_raw, drop, capture_features,
+                       aug=None):
         assert self.context_embedder is not None
         b = x.shape[0]
         emb = self.time_embed(timestep_embedding(timesteps, self.frequency_embedding).astype(x.dtype))
+        if aug is not None:
+            assert self.augment_embed is not None, "augment labels need augment_dim > 0"
+            emb = emb + self.augment_embed(aug.astype(emb.dtype))
         context_output = self.context_embedder(context_raw, drop)
         if self.pooled_embedding:
             assert "pooled_embeddings" in context_output, "pooled embeddings required"
@@ -639,12 +653,16 @@ class MMDiT(Denoiser):
             out["features"] = features
         return out
 
-    def _simple_dit_forward(self, x, grid_size, timesteps, y, drop, capture_features):
+    def _simple_dit_forward(self, x, grid_size, timesteps, y, drop, capture_features,
+                            aug=None):
         b = x.shape[0]
         emb = self.time_embed(timestep_embedding(timesteps, self.frequency_embedding).astype(x.dtype))
         if self.label_embed is not None:
             assert y is not None, "class labels y required for label-conditional DiT"
             emb = emb + self.label_embed(y, drop if self.classifier_free else None)
+        if aug is not None:
+            assert self.augment_embed is not None, "augment labels need augment_dim > 0"
+            emb = emb + self.augment_embed(aug.astype(emb.dtype))
 
         pos_ids = self._image_pos_ids(b, grid_size, 2)
         cos_sin = get_cos_sin_ndim_grid(pos_ids, self.rope_base, self.rope_axes_dim)
@@ -731,10 +749,13 @@ class MMDiT(Denoiser):
         if x_context is not None:
             x = jnp.concatenate([x, x_context], axis=-1)  # NHWC channel concat
 
+        aug = cond.get("augment_labels")
         tokens, grid_size = self.patchify(x)
         if self.simple_dit:
-            out = self._simple_dit_forward(tokens, grid_size, timesteps, y, drop, capture_features)
+            out = self._simple_dit_forward(tokens, grid_size, timesteps, y, drop,
+                                           capture_features, aug=aug)
         else:
-            out = self._mmdit_forward(tokens, grid_size, timesteps, context_raw, drop, capture_features)
+            out = self._mmdit_forward(tokens, grid_size, timesteps, context_raw, drop,
+                                      capture_features, aug=aug)
         out["x"] = self.unpatchify(out["x"], grid_size)
         return out

@@ -293,6 +293,7 @@ class UNetModel(Denoiser):
         classifier_free: bool = False,
         context_embedder: ContextEmbedder | None = None,
         transformer_depth: int = 1,
+        augment_dim: int = 0,
         *,
         rngs: nnx.Rngs,
         dtype=None,
@@ -327,6 +328,14 @@ class UNetModel(Denoiser):
         self.label_embed = nnx.data(
             LabelEmbed(n_classes, self.time_embed_dim, classifier_free, **kw)
             if n_classes is not None else None
+        )
+        # non-leaky augmentation conditioning (diffuse/augment.py): zero-init
+        # bias-free, so absent labels at sampling == the zero-label path
+        self.augment_embed = nnx.data(
+            nnx.Linear(augment_dim, self.time_embed_dim, use_bias=False,
+                       kernel_init=nnx.initializers.zeros_init(),
+                       dtype=stable_dtype(dtype), param_dtype=param_dtype, rngs=rngs)
+            if augment_dim > 0 else None
         )
 
         def make_attention(ch: int) -> nnx.Module:
@@ -422,6 +431,10 @@ class UNetModel(Denoiser):
         )))
         if self.label_embed is not None:
             emb = emb + self.label_embed(y, drop if self.classifier_free else None)
+        aug = cond.get("augment_labels")
+        if aug is not None:
+            assert self.augment_embed is not None, "augment labels need augment_dim > 0"
+            emb = emb + self.augment_embed(aug.astype(emb.dtype))
 
         context = attn_mask = None
         if self.context_embedder is not None:

@@ -95,6 +95,7 @@ class Trainer:
         posthoc_ema: bool = False,
         posthoc_ema_gammas: tuple[float, ...] = DEFAULT_GAMMAS,
         save_every_n_epochs: int | None = None,
+        augment_p: float = 0.0,
     ):
         del compile  # everything is jit-compiled; flag kept for config parity
         self.n_epoch = n_epoch
@@ -127,6 +128,10 @@ class Trainer:
         # production story — the reference has only manual resume flags
         # (base_trainer.py:264-286).
         self.save_every_n_epochs = save_every_n_epochs
+        # EDM-style non-leaky augmentation (diffuse/augment.py): applied in
+        # the train loss only, with the transform labels fed to the model via
+        # cond["augment_labels"]; requires the model's augment_dim > 0
+        self.augment_p = augment_p
         if save_path is None:
             save_path = Path.home() / "experiments" / datetime.now().strftime("%Y%m%d_%H%M%S")
         self.save_path = Path(save_path) / project_name
@@ -271,6 +276,16 @@ class BaseTrainer(Trainer):
                 rng_state,
             )
 
+        augment_pipe = None
+        if self.augment_p > 0:
+            from diffulab_tpu.diffuse.augment import AugmentPipe
+
+            augment_pipe = AugmentPipe(p=self.augment_p)
+            assert getattr(diffuser.denoiser, "augment_embed", None) is not None, (
+                "trainer.augment_p > 0 requires the model's augment_dim > 0 "
+                "(the non-leaky conditioning path, diffuse/augment.py)"
+            )
+
         def loss_fn(params, rng_state, rest, batch, rng):
             modules = nnx.merge(graphdef, params, rng_state, rest)
             model_inputs = dict(batch["model_inputs"])
@@ -281,6 +296,10 @@ class BaseTrainer(Trainer):
             coupled_noise = model_inputs.pop("coupled_noise", None)
             cond = model_inputs
             bsz = x0.shape[0]
+            if augment_pipe is not None:
+                rng, a_rng = jax.random.split(rng)
+                x0, aug_labels = augment_pipe(a_rng, x0)
+                cond = {**cond, "augment_labels": aug_labels}
             t_rng, n_rng, d_rng, m_rng = jax.random.split(rng, 4)
             timesteps = diffusion.draw_timesteps(t_rng, bsz)
             noise = (

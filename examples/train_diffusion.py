@@ -126,6 +126,7 @@ def main() -> None:
         posthoc_ema=trainer_cfg.get("posthoc_ema", False),
         posthoc_ema_gammas=tuple(trainer_cfg.get("posthoc_ema_gammas", (6.94, 16.97))),
         save_every_n_epochs=trainer_cfg.get("save_every_n_epochs"),
+        augment_p=trainer_cfg.get("augment_p", 0.0),
     )
 
     scheduler = None
