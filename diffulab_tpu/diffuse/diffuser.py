@@ -124,6 +124,7 @@ class Diffuser:
         decode: bool,
         dtype: jnp.dtype,
         img2img_strength: float = 1.0,
+        guide_graphdef: Any = None,
     ) -> Callable[..., Any]:
         """One jitted reverse-process fn for a static sampling configuration.
 
@@ -140,11 +141,18 @@ class Diffuser:
         latent_bias = self.latent_bias if decode else None
 
         def sample(graphdef, tower_graphdef, state, tower_state, rng, cond, x,
-                   guidance_scale, inpaint=None, img2img_init=None):
+                   guidance_scale, inpaint=None, img2img_init=None, guide_state=None):
             m = nnx.merge(graphdef, state)
 
             def model_fn(**kw):
                 return m(**kw, train=False)
+
+            guide_fn = None
+            if guide_state is not None:
+                bad = nnx.merge(guide_graphdef, guide_state)
+
+                def guide_fn(**kw):
+                    return bad(**kw, train=False)
 
             out = diffusion.denoise(
                 model_fn, cond, rng,
@@ -153,6 +161,7 @@ class Diffuser:
                 return_intermediates=return_intermediates, dtype=dtype,
                 inpaint=inpaint,
                 img2img_init=img2img_init, img2img_strength=img2img_strength,
+                guide_fn=guide_fn,
             )
             if decode:
                 tower = nnx.merge(tower_graphdef, tower_state)
@@ -174,6 +183,7 @@ class Diffuser:
         dtype: jnp.dtype = jnp.float32,
         inpaint: dict[str, Any] | None = None,
         img2img: dict[str, Any] | None = None,
+        guide_denoiser: Any = None,
     ) -> dict[str, jax.Array]:
         """Generate samples through a cached jitted sampler; in latent mode the
         vision-tower decode (x / latent_scale + latent_bias, reference
@@ -191,6 +201,10 @@ class Diffuser:
         ``img2img`` = ``{"init": array, "strength": float in (0, 1]}`` starts
         from the forward-noised init and runs only the schedule's last
         ``strength`` fraction (SDEdit; one compile per strength value).
+        ``guide_denoiser`` (autoguidance, arXiv:2406.02507): a degraded
+        sibling of the denoiser (early-training / short-EMA snapshot) that
+        replaces the unconditional branch — ``guided = bad + s*(good - bad)``
+        with the same interval/rescale shaping; requires guidance_scale > 0.
         """
         from flax import nnx
 
@@ -198,16 +212,20 @@ class Diffuser:
         decode = self.vision_tower is not None and not return_latents
         shape = tuple(data_shape) if (x is None and data_shape is not None) else None
         strength = float(img2img.get("strength", 0.8)) if img2img is not None else 1.0
+        guide_graphdef = guide_state = None
+        if guide_denoiser is not None:
+            assert use_cfg, "guide_denoiser requires guidance_scale > 0"
+            guide_graphdef, guide_state = nnx.split(guide_denoiser)
         key = (
             shape, x is None, clamp_x, use_cfg, return_intermediates, decode,
             jnp.dtype(dtype).name, inpaint is not None,
-            img2img is not None, strength,
+            img2img is not None, strength, guide_graphdef,
         )
         sample = self._generate_cache.get(key)
         if sample is None:
             sample = self._build_sample_fn(
                 shape, clamp_x, use_cfg, return_intermediates, decode, dtype,
-                img2img_strength=strength,
+                img2img_strength=strength, guide_graphdef=guide_graphdef,
             )
             self._generate_cache[key] = sample
 
@@ -221,5 +239,5 @@ class Diffuser:
         init = jnp.asarray(img2img["init"]) if img2img is not None else None
         return sample(
             graphdef, tower_graphdef, state, tower_state, rng, cond, x,
-            jnp.asarray(guidance_scale, jnp.float32), inpaint, init,
+            jnp.asarray(guidance_scale, jnp.float32), inpaint, init, guide_state,
         )

@@ -106,11 +106,21 @@ class EDM:
         d = c_skip * xf + c_out * pred["x"].astype(jnp.float32)
         return (d, pred) if return_prediction else d
 
-    def _denoised_cfg(self, model_fn, x, sigma, cond, guidance_scale, use_cfg):
+    def _denoised_cfg(self, model_fn, x, sigma, cond, guidance_scale, use_cfg,
+                      guide_fn=None):
         if not use_cfg:
             drop = jnp.zeros((x.shape[0],), bool)
             return self._denoised(model_fn, x, sigma, cond, drop)
         b = x.shape[0]
+        if guide_fn is not None:
+            # autoguidance (arXiv:2406.02507 — the paper's own formalization
+            # IS EDM): the negative branch is a conditional forward of a
+            # degraded model; see flow.py::_cfg_model_call
+            drop = jnp.zeros((b,), bool)
+            d_cond = self._denoised(model_fn, x, sigma, cond, drop)
+            d_bad = self._denoised(guide_fn, x, sigma, cond, drop)
+            scale = effective_scale(guidance_scale, sigma, self.guidance_interval)
+            return combine_cfg(d_cond, d_bad, scale, self.guidance_rescale)
         x2 = jnp.concatenate([x, x], axis=0)
         s2 = jnp.concatenate([sigma, sigma], axis=0)
         cond2 = jax.tree.map(lambda c: jnp.concatenate([c, c], axis=0), cond)
@@ -165,6 +175,7 @@ class EDM:
         use_cfg: bool = False,
         rng: jax.Array | None = None,
         sampler_args: dict[str, Any] | None = None,
+        guide_fn: ModelFn | None = None,
     ) -> dict[str, jax.Array]:
         """One Karras step sigma -> sigma_next.
 
@@ -183,7 +194,7 @@ class EDM:
 
         if self.sampling_method == "unipc":
             state = (sampler_args or {})["state"]
-            m0 = self._denoised_cfg(model_fn, x, sig, cond, guidance_scale, use_cfg)
+            m0 = self._denoised_cfg(model_fn, x, sig, cond, guidance_scale, use_cfg, guide_fn)
             lam_curr = -jnp.log(jnp.maximum(sigma, 1e-12))
             n_prev = state["n_prev"]
             m_last = state["m_last"].astype(jnp.float32)
@@ -232,7 +243,7 @@ class EDM:
 
         if self.sampling_method == "dpmpp_2m":
             state = (sampler_args or {})["state"]
-            d0 = self._denoised_cfg(model_fn, x, sig, cond, guidance_scale, use_cfg)
+            d0 = self._denoised_cfg(model_fn, x, sig, cond, guidance_scale, use_cfg, guide_fn)
             # lambda = ln(1/sigma); h = lambda_next - lambda = ln(sigma/sigma_next)
             h = jnp.log(sigma / jnp.maximum(sigma_next, 1e-12))
             r_safe = jnp.maximum(state["h_last"] / jnp.maximum(h, 1e-12), 1e-8)
@@ -262,7 +273,7 @@ class EDM:
             x = x + extra.reshape(-1, *([1] * (x.ndim - 1))).astype(x.dtype) * eps
             sig = sig_hat
 
-        d0 = self._denoised_cfg(model_fn, x, sig, cond, guidance_scale, use_cfg)
+        d0 = self._denoised_cfg(model_fn, x, sig, cond, guidance_scale, use_cfg, guide_fn)
         sigv = sig.reshape(-1, *([1] * (x.ndim - 1)))
         dxds = (x.astype(jnp.float32) - d0) / sigv
         dt = sigma_next - sigv
@@ -274,7 +285,7 @@ class EDM:
             sig_next_b = jnp.full((b,), sigma_next, jnp.float32)
             d1 = self._denoised_cfg(
                 model_fn, x_euler.astype(x.dtype), sig_next_b,
-                cond, guidance_scale, use_cfg,
+                cond, guidance_scale, use_cfg, guide_fn,
             )
             x_next = x.astype(jnp.float32) + dt * 0.5 * (dxds + (x_euler - d1) / sigma_next)
         else:
@@ -297,6 +308,7 @@ class EDM:
         inpaint: dict[str, jax.Array] | None = None,
         img2img_init: jax.Array | None = None,
         img2img_strength: float = 1.0,
+        guide_fn: ModelFn | None = None,
     ) -> dict[str, jax.Array]:
         """Full Karras reverse ODE as one `lax.scan`. Initial noise is scaled
         by sigma_max (EDM prior: x_T ~ N(0, sigma_max^2 I)).
@@ -353,6 +365,7 @@ class EDM:
                 guidance_scale=guidance_scale, use_cfg=use_cfg,
                 rng=use_rng if self.s_churn > 0 else None,
                 sampler_args={"state": s_state} if multistep else None,
+                guide_fn=guide_fn,
             )
             s_state = step.pop("state", s_state)
             x_next = step["x_prev"]
@@ -369,7 +382,7 @@ class EDM:
         (x_last, _, _), ys = jax.lax.scan(body, (x, rng, s_state0), pairs)
         sig_last = jnp.full((x.shape[0],), ts[-2], jnp.float32)
         x_final = self._denoised_cfg(
-            model_fn, x_last, sig_last, cond, guidance_scale, use_cfg
+            model_fn, x_last, sig_last, cond, guidance_scale, use_cfg, guide_fn
         ).astype(x.dtype)
         if inpaint is not None:
             mask = inpaint["mask"].astype(x_final.dtype)

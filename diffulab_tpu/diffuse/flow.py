@@ -60,6 +60,7 @@ def _cfg_model_call(
     use_cfg: bool,
     guidance_interval: Sequence[float] | None = None,
     guidance_rescale: float = 0.0,
+    guide_fn: ModelFn | None = None,
 ) -> jax.Array:
     """Model forward with classifier-free guidance as ONE batched 2x call.
 
@@ -67,11 +68,24 @@ def _cfg_model_call(
     flow.py:256-259); on TPU a single concatenated batch keeps the MXU busy and
     halves the number of kernel launches. ``use_cfg`` is static;
     interval/rescale shaping per diffuse/guidance.py (interval in flow time t).
+
+    With ``guide_fn`` (autoguidance, Karras et al. arXiv:2406.02507) the
+    negative branch is a *conditional* forward of a degraded model — e.g. an
+    early-training or short-EMA snapshot — instead of the condition-dropped
+    forward: ``guided = bad + s * (good - bad)``. Two sequential calls (the
+    weights differ, so the batched fusion cannot apply); same shaping knobs.
     """
     batch = x.shape[0]
     if not use_cfg:
         drop = jnp.zeros((batch,), dtype=bool)
         return model_fn(x=x, timesteps=t_vec, cond=cond, drop=drop)["x"]
+
+    if guide_fn is not None:
+        drop = jnp.zeros((batch,), dtype=bool)
+        out_cond = model_fn(x=x, timesteps=t_vec, cond=cond, drop=drop)["x"]
+        out_bad = guide_fn(x=x, timesteps=t_vec, cond=cond, drop=drop)["x"]
+        scale = effective_scale(guidance_scale, t_vec, guidance_interval)
+        return combine_cfg(out_cond, out_bad, scale, guidance_rescale)
 
     x2 = jnp.concatenate([x, x], axis=0)
     t2 = jnp.concatenate([t_vec, t_vec], axis=0)
@@ -205,10 +219,12 @@ class Flow:
         t_curr: jax.Array,
         guidance_scale: float | jax.Array = 0.0,
         use_cfg: bool = False,
+        guide_fn: ModelFn | None = None,
     ) -> jax.Array:
         t_vec = jnp.full((x.shape[0],), t_curr, dtype=jnp.float32)
         pred = _cfg_model_call(model_fn, x, t_vec, cond, guidance_scale, use_cfg,
-                               self.guidance_interval, self.guidance_rescale)
+                               self.guidance_interval, self.guidance_rescale,
+                               guide_fn=guide_fn)
         if self.x_prediction:
             return (x - pred) / jnp.maximum(t_curr, 0.05)
         return pred
@@ -224,12 +240,13 @@ class Flow:
         use_cfg: bool = False,
         rng: jax.Array | None = None,
         sampler_args: dict[str, Any] | None = None,
+        guide_fn: ModelFn | None = None,
     ) -> StepResult:
-        v = self.get_v(model_fn, x, cond, t_curr, guidance_scale, use_cfg)
+        v = self.get_v(model_fn, x, cond, t_curr, guidance_scale, use_cfg, guide_fn)
         if getattr(self.sampler, "needs_second_eval", False):
             # Heun corrector: second velocity eval at the Euler-predicted point
             x_pred = self.sampler.predict(x, v, t_curr, t_prev)
-            v2 = self.get_v(model_fn, x_pred, cond, t_prev, guidance_scale, use_cfg)
+            v2 = self.get_v(model_fn, x_pred, cond, t_prev, guidance_scale, use_cfg, guide_fn)
             return self.sampler.step(x, v, t_curr, t_prev, v2=v2, rng=rng, **(sampler_args or {}))
         return self.sampler.step(x, v, t_curr, t_prev, rng=rng, **(sampler_args or {}))
 
@@ -249,6 +266,7 @@ class Flow:
         inpaint: dict[str, jax.Array] | None = None,
         img2img_init: jax.Array | None = None,
         img2img_strength: float = 1.0,
+        guide_fn: ModelFn | None = None,
     ) -> dict[str, jax.Array]:
         """Full reverse flow as one `lax.scan` (reference loop: flow.py:484-508).
 
@@ -303,6 +321,7 @@ class Flow:
                 guidance_scale=guidance_scale, use_cfg=use_cfg,
                 rng=use_rng if stochastic else None,
                 sampler_args={"state": s_state} if multistep else None,
+                guide_fn=guide_fn,
             )
             s_state = step.pop("state", s_state)
             x_next = step["x_prev"]

@@ -302,12 +302,28 @@ class GaussianDiffusion:
         use_cfg: bool = False,
         rng: jax.Array | None = None,
         sampler_args: dict[str, Any] | None = None,
+        guide_fn: ModelFn | None = None,
     ) -> StepResult:
         batch = x.shape[0]
         timesteps = jnp.full((batch,), t, dtype=jnp.int32)
         model_timesteps = self._map_timesteps(timesteps)
 
-        if use_cfg:
+        if use_cfg and guide_fn is not None:
+            # autoguidance (arXiv:2406.02507): the negative branch is a
+            # conditional forward of a degraded model (flow.py::_cfg_model_call)
+            drop = jnp.zeros((batch,), dtype=bool)
+            pred_cond = model_fn(x=x, timesteps=model_timesteps, cond=cond, drop=drop)["x"]
+            pred_bad = guide_fn(x=x, timesteps=model_timesteps, cond=cond, drop=drop)["x"]
+            frac = model_timesteps.astype(jnp.float32) / max(self.training_steps - 1, 1)
+            scale = effective_scale(guidance_scale, frac, self.guidance_interval)
+            if self.sampler.var_type in ("learned", "learned_range"):
+                head_c, var_c = jnp.split(pred_cond, 2, axis=-1)
+                head_b, _ = jnp.split(pred_bad, 2, axis=-1)
+                head = combine_cfg(head_c, head_b, scale, self.guidance_rescale)
+                prediction = jnp.concatenate([head, var_c], axis=-1)
+            else:
+                prediction = combine_cfg(pred_cond, pred_bad, scale, self.guidance_rescale)
+        elif use_cfg:
             x2 = jnp.concatenate([x, x], axis=0)
             t2 = jnp.concatenate([model_timesteps, model_timesteps], axis=0)
             cond2 = jax.tree.map(lambda c: jnp.concatenate([c, c], axis=0), cond)
@@ -362,6 +378,7 @@ class GaussianDiffusion:
         inpaint: dict[str, jax.Array] | None = None,
         img2img_init: jax.Array | None = None,
         img2img_strength: float = 1.0,
+        guide_fn: ModelFn | None = None,
     ) -> dict[str, jax.Array]:
         """Full ancestral/DDIM reverse process as one `lax.scan`
         (reference Python loop: gaussian_diffusion.py:409-434).
@@ -400,6 +417,7 @@ class GaussianDiffusion:
                 clamp_x=clamp_x, guidance_scale=guidance_scale, use_cfg=use_cfg,
                 rng=use_rng,
                 sampler_args={"state": s_state} if multistep else None,
+                guide_fn=guide_fn,
             )
             s_state = step.pop("state", s_state)
             x_next = step["x_prev"]

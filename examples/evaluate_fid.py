@@ -87,6 +87,10 @@ def main() -> None:
     parser.add_argument("--batch-size", type=int, default=128)
     parser.add_argument("--steps", type=int, default=None, help="override sampling steps")
     parser.add_argument("--guidance", type=float, default=0.0)
+    parser.add_argument("--guide-ckpt", default=None,
+                        help="autoguidance (arXiv:2406.02507): checkpoint of a DEGRADED "
+                             "sibling (early epoch / long-horizon EMA) that replaces the "
+                             "unconditional branch; requires --guidance > 0")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args()
@@ -141,6 +145,17 @@ def main() -> None:
         apply_lora(denoiser, int(lora_rank), rngs=nnx.Rngs(args.seed + 1),
                    variant=cfg["trainer"].get("lora_variant", "lora"))
     modules = _TrainModules(diffuser.denoiser, diffuser.extra_losses)
+
+    guide_denoiser = None
+    if args.guide_ckpt:
+        assert args.guidance > 0, "--guide-ckpt requires --guidance > 0"
+        guide_denoiser = instantiate(cfg["model"], rngs=nnx.Rngs(args.seed))
+        restore_train_modules(
+            args.guide_ckpt,
+            _TrainModules(guide_denoiser, build_extra_losses(cfg, seed=args.seed)),
+            lora=bool(lora_rank),
+        )
+        print(f"autoguidance: negative branch from {args.guide_ckpt}")
 
     feature_fn = frozen_vit_features(image_size=real_val.shape[1])
 
@@ -197,6 +212,7 @@ def main() -> None:
                 jax.random.fold_in(key, start), cond,
                 data_shape=(bsz, *real_val.shape[1:]),
                 guidance_scale=args.guidance, clamp_x=True,
+                guide_denoiser=guide_denoiser,
             )
             fakes.append(np.asarray(out["x"], np.float32))
         fake = np.concatenate(fakes)[:n]

@@ -45,6 +45,9 @@ def main() -> None:
     parser.add_argument("--steps", type=int, default=None, help="override sampling steps")
     parser.add_argument("--sampler", default=None, help="override sampling_method")
     parser.add_argument("--guidance", type=float, default=0.0)
+    parser.add_argument("--guide-ckpt", default=None,
+                        help="autoguidance: checkpoint of a degraded sibling model "
+                             "replacing the unconditional branch (needs --guidance > 0)")
     parser.add_argument("--labels", default=None,
                         help="comma-separated class labels, tiled to --n (default: random)")
     parser.add_argument("--image-size", type=int, default=None,
@@ -109,6 +112,17 @@ def main() -> None:
                    variant=cfg["trainer"].get("lora_variant", "lora"))
     restore_train_modules(args.ckpt, _TrainModules(denoiser, diffuser.extra_losses), lora=bool(lora_rank))
     print(f"restored {args.ckpt}")
+
+    guide_denoiser = None
+    if args.guide_ckpt:
+        assert args.guidance > 0, "--guide-ckpt requires --guidance > 0"
+        guide_denoiser = instantiate(cfg["model"], rngs=nnx.Rngs(args.seed), **model_kwargs)
+        restore_train_modules(
+            args.guide_ckpt,
+            _TrainModules(guide_denoiser, build_extra_losses(cfg, seed=args.seed)),
+            lora=bool(lora_rank),
+        )
+        print(f"autoguidance: negative branch from {args.guide_ckpt}")
 
     size = args.image_size or ds_cfg.get("image_size", 32)
     channels = cfg["model"].get("input_channels", cfg["model"].get("in_channels", 3))
@@ -189,7 +203,7 @@ def main() -> None:
         jax.random.key(args.seed), cond,
         data_shape=(args.n, size, size, channels),
         guidance_scale=args.guidance, clamp_x=True,
-        inpaint=inpaint, img2img=img2img,
+        inpaint=inpaint, img2img=img2img, guide_denoiser=guide_denoiser,
     )
     images = np.clip(np.asarray(out["x"], np.float32) * 0.5 + 0.5, 0, 1)
 
