@@ -61,6 +61,7 @@ class Diffuser:
             **(extra_args or {}),
         )
         self._generate_cache: dict[Any, Callable[..., Any]] = {}
+        self._block_cache: dict[str, int] | None = None
 
     # --- model adapter -----------------------------------------------------
     def model_fn(self, train: bool = False, rngs: Any | None = None):
@@ -83,6 +84,32 @@ class Diffuser:
         Python-level config change: the next `generate` call compiles (or reuses
         a cached) sampling fn for the new static grid."""
         self.diffusion = self.diffusion.set_steps(n_steps, **kwargs)
+        self._generate_cache.clear()
+
+    def set_block_cache(self, interval: int | None, span: tuple[int, int] | None = None) -> None:
+        """Training-free sampling acceleration via block caching
+        (Delta-DiT-style, arXiv:2406.01125; see MMDiT.set_block_cache_span).
+
+        Every ``interval``-th denoise step the denoiser blocks in
+        ``span = (lo, hi)`` run normally and cache their combined residual
+        delta; the steps in between reuse the cached delta and skip those
+        blocks — cutting sampling FLOPs by ~(hi-lo)/depth * (1 - 1/interval)
+        at a small quality cost. ``interval=None`` or ``1`` disables.
+        Sampling-time only: don't use while collecting GRPO trajectories
+        (the stored logprobs would disagree with the uncached ratio re-eval).
+        """
+        if interval is None or int(interval) <= 1:
+            self._block_cache = None
+            if hasattr(self.denoiser, "set_block_cache_span"):
+                self.denoiser.set_block_cache_span(None)
+            self._generate_cache.clear()
+            return
+        assert hasattr(self.denoiser, "init_block_cache"), (
+            f"{type(self.denoiser).__name__} does not support block caching"
+        )
+        assert span is not None, "block caching needs a (lo, hi) block span"
+        self.denoiser.set_block_cache_span((int(span[0]), int(span[1])))
+        self._block_cache = {"interval": int(interval)}
         self._generate_cache.clear()
 
     # --- training loss -------------------------------------------------------
@@ -139,6 +166,7 @@ class Diffuser:
         diffusion = self.diffusion
         latent_scale = self.latent_scale if decode else None
         latent_bias = self.latent_bias if decode else None
+        block_cache = self._block_cache
 
         def sample(graphdef, tower_graphdef, state, tower_state, rng, cond, x,
                    guidance_scale, inpaint=None, img2img_init=None, guide_state=None):
@@ -154,6 +182,11 @@ class Diffuser:
                 def guide_fn(**kw):
                     return bad(**kw, train=False)
 
+            block_cache0 = None
+            if block_cache is not None:
+                sample_shape = data_shape if x is None else x.shape
+                block_cache0 = m.init_block_cache(sample_shape, cond, use_cfg)
+
             out = diffusion.denoise(
                 model_fn, cond, rng,
                 data_shape=data_shape, x=x, clamp_x=clamp_x,
@@ -162,6 +195,8 @@ class Diffuser:
                 inpaint=inpaint,
                 img2img_init=img2img_init, img2img_strength=img2img_strength,
                 guide_fn=guide_fn,
+                block_cache0=block_cache0,
+                cache_interval=block_cache["interval"] if block_cache else 1,
             )
             if decode:
                 tower = nnx.merge(tower_graphdef, tower_state)
@@ -220,6 +255,7 @@ class Diffuser:
             shape, x is None, clamp_x, use_cfg, return_intermediates, decode,
             jnp.dtype(dtype).name, inpaint is not None,
             img2img is not None, strength, guide_graphdef,
+            self._block_cache["interval"] if self._block_cache else None,
         )
         sample = self._generate_cache.get(key)
         if sample is None:

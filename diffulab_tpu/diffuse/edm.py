@@ -309,6 +309,8 @@ class EDM:
         img2img_init: jax.Array | None = None,
         img2img_strength: float = 1.0,
         guide_fn: ModelFn | None = None,
+        block_cache0: Any = None,
+        cache_interval: int = 1,
     ) -> dict[str, jax.Array]:
         """Full Karras reverse ODE as one `lax.scan`. Initial noise is scaled
         by sigma_max (EDM prior: x_T ~ N(0, sigma_max^2 I)).
@@ -357,11 +359,26 @@ class EDM:
         else:
             s_state0 = {}
 
-        def body(carry, pair):
-            x_t, step_rng, s_state = carry
+        mcache0 = block_cache0 if block_cache0 is not None else ()
+
+        def body(carry, xs):
+            x_t, step_rng, s_state, mcache = carry
+            pair, step_idx = xs
             step_rng, use_rng = jax.random.split(step_rng)
+            # sampling-time block caching (see flow.py::denoise); the final
+            # sigma_min -> 0 collapse below stays uncached (exact)
+            step_model_fn = model_fn
+            cell = {"c": mcache}
+            if block_cache0 is not None:
+                refresh = (step_idx % cache_interval) == 0
+
+                def step_model_fn(**kw):
+                    out = model_fn(**kw, block_cache=cell["c"], cache_refresh=refresh)
+                    cell["c"] = out["block_cache"]
+                    return out
+
             step = self.one_step_denoise(
-                model_fn, x_t, cond, pair[1], pair[0],
+                step_model_fn, x_t, cond, pair[1], pair[0],
                 guidance_scale=guidance_scale, use_cfg=use_cfg,
                 rng=use_rng if self.s_churn > 0 else None,
                 sampler_args={"state": s_state} if multistep else None,
@@ -377,9 +394,12 @@ class EDM:
                 x_next = mask * (known + pair[1] * noise) + (1.0 - mask) * x_next
                 step["x_prev"] = x_next
             ys = {k: step[k] for k in step} if return_intermediates else None
-            return (x_next.astype(x_t.dtype), step_rng, s_state), ys
+            return (x_next.astype(x_t.dtype), step_rng, s_state, cell["c"]), ys
 
-        (x_last, _, _), ys = jax.lax.scan(body, (x, rng, s_state0), pairs)
+        (x_last, _, _, _), ys = jax.lax.scan(
+            body, (x, rng, s_state0, mcache0),
+            (pairs, jnp.arange(pairs.shape[0])),
+        )
         sig_last = jnp.full((x.shape[0],), ts[-2], jnp.float32)
         x_final = self._denoised_cfg(
             model_fn, x_last, sig_last, cond, guidance_scale, use_cfg, guide_fn

@@ -267,6 +267,8 @@ class Flow:
         img2img_init: jax.Array | None = None,
         img2img_strength: float = 1.0,
         guide_fn: ModelFn | None = None,
+        block_cache0: Any = None,
+        cache_interval: int = 1,
     ) -> dict[str, jax.Array]:
         """Full reverse flow as one `lax.scan` (reference loop: flow.py:484-508).
 
@@ -312,12 +314,28 @@ class Flow:
         multistep = getattr(self.sampler, "is_multistep", False)
         s_state0 = self.sampler.init_state(x) if multistep else {}
 
-        def body(carry, t_pair):
-            x_t, step_rng, s_state = carry
+        mcache0 = block_cache0 if block_cache0 is not None else ()
+
+        def body(carry, xs):
+            x_t, step_rng, s_state, mcache = carry
+            t_pair, step_idx = xs
             step_rng, use_rng = jax.random.split(step_rng)
             t_curr, t_prev = t_pair[0], t_pair[1]
+            # sampling-time block caching: wrap the model so the cached span
+            # delta threads through the scan carry (refresh every K-th step;
+            # the trace-time cell survives multi-eval samplers like Heun)
+            step_model_fn = model_fn
+            cell = {"c": mcache}
+            if block_cache0 is not None:
+                refresh = (step_idx % cache_interval) == 0
+
+                def step_model_fn(**kw):
+                    out = model_fn(**kw, block_cache=cell["c"], cache_refresh=refresh)
+                    cell["c"] = out["block_cache"]
+                    return out
+
             step = self.one_step_denoise(
-                model_fn, x_t, cond, t_prev, t_curr,
+                step_model_fn, x_t, cond, t_prev, t_curr,
                 guidance_scale=guidance_scale, use_cfg=use_cfg,
                 rng=use_rng if stochastic else None,
                 sampler_args={"state": s_state} if multistep else None,
@@ -337,9 +355,12 @@ class Flow:
             if return_intermediates:
                 ys = {k: step[k] for k in step}
             # keep the carry dtype stable (fp32 schedule scalars promote bf16 x)
-            return (x_next.astype(x_t.dtype), step_rng, s_state), ys
+            return (x_next.astype(x_t.dtype), step_rng, s_state, cell["c"]), ys
 
-        (x_final, _, _), ys = jax.lax.scan(body, (x, rng, s_state0), t_pairs)
+        (x_final, _, _, _), ys = jax.lax.scan(
+            body, (x, rng, s_state0, mcache0),
+            (t_pairs, jnp.arange(t_pairs.shape[0])),
+        )
         if inpaint is not None:
             mask = inpaint["mask"].astype(x_final.dtype)
             x_final = mask * inpaint["known"].astype(x_final.dtype) + (1.0 - mask) * x_final

@@ -379,6 +379,8 @@ class GaussianDiffusion:
         img2img_init: jax.Array | None = None,
         img2img_strength: float = 1.0,
         guide_fn: ModelFn | None = None,
+        block_cache0: Any = None,
+        cache_interval: int = 1,
     ) -> dict[str, jax.Array]:
         """Full ancestral/DDIM reverse process as one `lax.scan`
         (reference Python loop: gaussian_diffusion.py:409-434).
@@ -409,11 +411,25 @@ class GaussianDiffusion:
         sqrt_ab = jnp.asarray(self.sqrt_alphas_bar, jnp.float32)
         ab = jnp.asarray(self.alphas_bar, jnp.float32)
 
-        def body(carry, t):
-            x_t, step_rng, s_state = carry
+        mcache0 = block_cache0 if block_cache0 is not None else ()
+
+        def body(carry, xs):
+            x_t, step_rng, s_state, mcache = carry
+            t, step_idx = xs
             step_rng, use_rng = jax.random.split(step_rng)
+            # sampling-time block caching (see flow.py::denoise)
+            step_model_fn = model_fn
+            cell = {"c": mcache}
+            if block_cache0 is not None:
+                refresh = (step_idx % cache_interval) == 0
+
+                def step_model_fn(**kw):
+                    out = model_fn(**kw, block_cache=cell["c"], cache_refresh=refresh)
+                    cell["c"] = out["block_cache"]
+                    return out
+
             step = self.one_step_denoise(
-                model_fn, x_t, cond, t,
+                step_model_fn, x_t, cond, t,
                 clamp_x=clamp_x, guidance_scale=guidance_scale, use_cfg=use_cfg,
                 rng=use_rng,
                 sampler_args={"state": s_state} if multistep else None,
@@ -436,9 +452,12 @@ class GaussianDiffusion:
                 step["x_prev"] = x_next
             ys = {k: step[k] for k in step} if return_intermediates else None
             # keep the carry dtype stable (fp32 table scalars promote bf16 x)
-            return (x_next.astype(x_t.dtype), step_rng, s_state), ys
+            return (x_next.astype(x_t.dtype), step_rng, s_state, cell["c"]), ys
 
-        (x_final, _, _), ys = jax.lax.scan(body, (x, rng, s_state0), t_indices)
+        (x_final, _, _, _), ys = jax.lax.scan(
+            body, (x, rng, s_state0, mcache0),
+            (t_indices, jnp.arange(t_indices.shape[0])),
+        )
         if inpaint is not None:
             mask = inpaint["mask"].astype(x_final.dtype)
             x_final = mask * inpaint["known"].astype(x_final.dtype) + (1.0 - mask) * x_final

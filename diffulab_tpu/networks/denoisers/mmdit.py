@@ -475,6 +475,11 @@ class MMDiT(Denoiser):
         )
         self.pipeline_microbatches = pipeline_microbatches
         self.mesh = None  # static; injected by set_parallel_mesh
+        # sampling-time block caching (Delta-DiT-style, arXiv:2406.01125):
+        # static (lo, hi) span of blocks whose combined residual delta is
+        # cached across denoise steps; None = off. Set via
+        # Diffuser.set_block_cache -> set_block_cache_span.
+        self.cache_span: tuple[int, int] | None = None
         # mixed precision: the residual token stream is carried at fp32 (None
         # when dtype is already full precision); each block's matmuls cast
         # their inputs down to `dtype`, and the branch output promotes back at
@@ -617,9 +622,88 @@ class MMDiT(Denoiser):
             return _block_remat_ckpt(layer, *args)
         return _block_remat(layer, *args)
 
+    # --- sampling-time block caching (Delta-DiT-style) -----------------------
+    # Training-free acceleration (arXiv:2406.01125, arXiv:2312.09608; no
+    # reference counterpart): on "refresh" denoise steps the blocks in
+    # ``cache_span = [lo, hi)`` run normally and their combined residual
+    # delta (stack output - stack input, per token stream) is cached; on
+    # the steps in between the span is skipped and the cached delta is
+    # re-applied to the current stream. The schedule (every K-th step
+    # refreshes) is driven by the formalizations' denoise scan, which
+    # threads the cache pytree through the scan carry.
+    def set_block_cache_span(self, span: tuple[int, int] | None) -> None:
+        if span is None:
+            self.cache_span = None
+            return
+        lo, hi = int(span[0]), int(span[1])
+        assert 0 <= lo < hi <= len(self.layers), (
+            f"cache span [{lo}, {hi}) out of range for depth {len(self.layers)}"
+        )
+        self.cache_span = (lo, hi)
+
+    def _cache_dtype(self):
+        return self.stream_dtype if self.stream_dtype is not None else jnp.float32
+
+    def init_block_cache(self, data_shape, cond, use_cfg: bool):
+        """Zero-filled block-cache pytree shaped for the denoise scan carry.
+
+        The first denoise step always refreshes (step_idx % interval == 0 at
+        0), so only the structure matters — zeros are never consumed.
+        ``data_shape`` is the NHWC sample shape; under CFG the model sees a
+        2x-batched fused call, so the cache is 2x-batched too.
+        """
+        assert self.cache_span is not None, "call set_block_cache_span first"
+        b = data_shape[0] * (2 if use_cfg else 1)
+        t = (data_shape[1] // self.patch_size) * (data_shape[2] // self.patch_size)
+        dt = self._cache_dtype()
+        x_delta = jnp.zeros((b, t, self.inner_dim), dt)
+        if self.simple_dit:
+            return (x_delta,)
+        # dual/single-stream MMDiT: the loop state is (x, context); the
+        # context length comes from the embedder's output shape (trace-free)
+        ctx = cond["context"]
+        ctx_shape = jax.eval_shape(
+            lambda c, d: self.context_embedder(c, d)["embeddings"],
+            ctx, jax.ShapeDtypeStruct((data_shape[0],), jnp.bool_),
+        ).shape
+        return (x_delta, jnp.zeros((b, ctx_shape[1], self.inner_dim), dt))
+
+    def _cached_block_stack(self, streams, run, block_cache, cache_refresh):
+        """Run the block stack with the ``cache_span`` segment under
+        ``lax.cond(refresh, compute-and-cache, reuse-cached-delta)``.
+
+        ``streams`` is the tuple of token streams ((x,) for simple DiT,
+        (x, context) for MMDiT); ``run(i, streams) -> streams`` applies block
+        i. Returns (streams, new_cache). Refresh steps are bit-exact with the
+        uncached stack (the computed streams pass through unchanged; the
+        delta is stored separately)."""
+        lo, hi = self.cache_span
+        dt = self._cache_dtype()
+        for i in range(lo):
+            streams = run(i, streams)
+
+        def compute(s_in):
+            s = s_in
+            for i in range(lo, hi):
+                s = run(i, s)
+            deltas = tuple(
+                a.astype(dt) - b.astype(dt) for a, b in zip(s, s_in)
+            )
+            return s, deltas
+
+        def reuse(s_in):
+            deltas = tuple(c.astype(dt) for c in block_cache)
+            s = tuple(a + d.astype(a.dtype) for a, d in zip(s_in, deltas))
+            return s, deltas
+
+        streams, new_cache = jax.lax.cond(cache_refresh, compute, reuse, streams)
+        for i in range(hi, len(self.layers)):
+            streams = run(i, streams)
+        return streams, new_cache
+
     # --- forward paths -------------------------------------------------------
     def _mmdit_forward(self, x, grid_size, timesteps, context_raw, drop, capture_features,
-                       aug=None):
+                       aug=None, block_cache=None, cache_refresh=None):
         assert self.context_embedder is not None
         b = x.shape[0]
         emb = self.time_embed(timestep_embedding(timesteps, self.frequency_embedding).astype(x.dtype))
@@ -642,19 +726,39 @@ class MMDiT(Denoiser):
         )
         cos_sin = get_cos_sin_ndim_grid(pos_ids, self.rope_base, self.rope_axes_dim)
 
+        use_cache = (
+            self.cache_span is not None
+            and block_cache is not None
+            and cache_refresh is not None
+        )
+        assert not (use_cache and capture_features), (
+            "block caching is a sampling-time feature; feature capture "
+            "(REPA) is a training-time one — they don't compose"
+        )
         features: list[jax.Array] = []
-        for i, layer in enumerate(self.layers):
-            x, context = self._run_block(layer, x, emb, context, cos_sin, attn_mask)
-            if capture_features and i in self.feature_layers:
-                features.append(x)
+        new_cache = None
+        if use_cache:
+            def run(i, s):
+                return self._run_block(self.layers[i], s[0], emb, s[1], cos_sin, attn_mask)
+
+            (x, context), new_cache = self._cached_block_stack(
+                (x, context), run, block_cache, cache_refresh
+            )
+        else:
+            for i, layer in enumerate(self.layers):
+                x, context = self._run_block(layer, x, emb, context, cos_sin, attn_mask)
+                if capture_features and i in self.feature_layers:
+                    features.append(x)
         x = self.last_layer(x, emb)
         out: ModelOutput = {"x": x}
         if capture_features:
             out["features"] = features
+        if new_cache is not None:
+            out["block_cache"] = new_cache
         return out
 
     def _simple_dit_forward(self, x, grid_size, timesteps, y, drop, capture_features,
-                            aug=None):
+                            aug=None, block_cache=None, cache_refresh=None):
         b = x.shape[0]
         emb = self.time_embed(timestep_embedding(timesteps, self.frequency_embedding).astype(x.dtype))
         if self.label_embed is not None:
@@ -667,15 +771,33 @@ class MMDiT(Denoiser):
         pos_ids = self._image_pos_ids(b, grid_size, 2)
         cos_sin = get_cos_sin_ndim_grid(pos_ids, self.rope_base, self.rope_axes_dim)
 
+        use_cache = (
+            self.cache_span is not None
+            and block_cache is not None
+            and cache_refresh is not None
+        )
+        assert not (use_cache and capture_features), (
+            "block caching is a sampling-time feature; feature capture "
+            "(REPA) is a training-time one — they don't compose"
+        )
         features: list[jax.Array] = []
+        new_cache = None
         pipe_n = self.mesh.shape.get("pipe", 1) if self.mesh is not None else 1
         if (
             self.pipeline_microbatches
             and pipe_n > 1
             and not capture_features
             and not self.use_checkpoint  # remat composes with the sequential path only
+            and not use_cache  # the cached span needs the sequential stack
         ):
             x = self._pipelined_blocks(x, emb, cos_sin, pipe_n)
+        elif use_cache:
+            def run(i, s):
+                return (self._run_block(self.layers[i], s[0], emb, cos_sin, None),)
+
+            (x,), new_cache = self._cached_block_stack(
+                (x,), run, block_cache, cache_refresh
+            )
         else:
             for i, layer in enumerate(self.layers):
                 x = self._run_block(layer, x, emb, cos_sin, None)
@@ -685,6 +807,8 @@ class MMDiT(Denoiser):
         out: ModelOutput = {"x": x}
         if capture_features:
             out["features"] = features
+        if new_cache is not None:
+            out["block_cache"] = new_cache
         return out
 
     def _pipelined_blocks(self, x, emb, cos_sin, pipe_n: int):
@@ -737,6 +861,8 @@ class MMDiT(Denoiser):
         train: bool = False,
         rngs: nnx.Rngs | None = None,
         capture_features: bool = False,
+        block_cache: Any = None,
+        cache_refresh: jax.Array | bool | None = None,
     ) -> ModelOutput:
         del train, rngs
         cond = cond or {}
@@ -753,9 +879,13 @@ class MMDiT(Denoiser):
         tokens, grid_size = self.patchify(x)
         if self.simple_dit:
             out = self._simple_dit_forward(tokens, grid_size, timesteps, y, drop,
-                                           capture_features, aug=aug)
+                                           capture_features, aug=aug,
+                                           block_cache=block_cache,
+                                           cache_refresh=cache_refresh)
         else:
             out = self._mmdit_forward(tokens, grid_size, timesteps, context_raw, drop,
-                                      capture_features, aug=aug)
+                                      capture_features, aug=aug,
+                                      block_cache=block_cache,
+                                      cache_refresh=cache_refresh)
         out["x"] = self.unpatchify(out["x"], grid_size)
         return out

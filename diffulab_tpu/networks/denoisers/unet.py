@@ -378,6 +378,7 @@ class UNetModel(Denoiser):
         ])
 
         output_blocks: list[list[nnx.Module]] = []
+        out_group_meta: list[tuple[int, int]] = []  # (channels, ds) after each group
         for level, mult in list(enumerate(channel_mult))[::-1]:
             for i in range(num_res_blocks + 1):
                 ich = input_block_chans.pop()
@@ -396,10 +397,56 @@ class UNetModel(Denoiser):
                         layers.append(Upsample(ch, conv_resample, ch, **kw))
                     ds //= 2
                 output_blocks.append(layers)
+                out_group_meta.append((ch, ds))
         self.output_blocks = nnx.List([nnx.List(b) for b in output_blocks])
+        # DeepCache bookkeeping (set_block_cache_span): shape of the decoder
+        # feature after each output group, for init_block_cache
+        self._out_group_meta = out_group_meta
+        self._compute_dtype = dtype
+        self.cache_split: int | None = None  # static; set via set_block_cache_span
 
         self.out_norm = GroupNorm32(32, ch, rngs=rngs, param_dtype=param_dtype)
         self.out_conv = zero_conv(input_ch, out_channels, (3, 3), **kw)
+
+    # --- sampling-time deep-feature caching (DeepCache-style) ----------------
+    # Training-free sampling acceleration (DeepCache, arXiv:2312.00858;
+    # encoder-reuse analysis, arXiv:2312.09608; no reference counterpart).
+    # The UNet analogue of MMDiT's Delta-DiT span: on refresh steps the full
+    # net runs and the decoder feature where the deep U re-enters the shallow
+    # levels is cached; on reuse steps only the shallow encoder prefix and
+    # decoder suffix run, splicing in the cached deep feature (deep features
+    # change slowly along the sampling trajectory).
+    def set_block_cache_span(self, span: tuple[int, int] | None) -> None:
+        """``span = (k, N)`` with ``N = len(input_blocks)``: keep running
+        encoder groups ``[0, k)`` (and the matching decoder suffix); cache
+        everything deeper. The hi bound must be N — the deep segment always
+        reaches the U's bottom (skip tensors inside it cannot be cached
+        independently)."""
+        if span is None:
+            self.cache_split = None
+            return
+        k, hi = int(span[0]), int(span[1])
+        n = len(self.input_blocks)
+        assert hi == n, (
+            f"UNet deep-caching spans reach the U bottom: span must be (k, {n}), got ({k}, {hi})"
+        )
+        assert 1 <= k <= n - 1, f"cache split k={k} out of range [1, {n - 1}]"
+        self.cache_split = k
+
+    def _cache_dtype(self):
+        return stable_dtype(self._compute_dtype) or jnp.float32
+
+    def init_block_cache(self, data_shape, cond, use_cfg: bool):
+        """Zero-filled cache shaped like the decoder feature after output
+        group ``N - k - 1`` (never consumed: the first denoise step always
+        refreshes)."""
+        assert self.cache_split is not None, "call set_block_cache_span first"
+        del cond
+        n = len(self.input_blocks)
+        ch, ds = self._out_group_meta[n - self.cache_split - 1]
+        b = data_shape[0] * (2 if use_cfg else 1)
+        h, w = data_shape[1] // ds, data_shape[2] // ds
+        return (jnp.zeros((b, h, w, ch), self._cache_dtype()),)
 
     def __call__(
         self,
@@ -410,6 +457,8 @@ class UNetModel(Denoiser):
         train: bool = False,
         rngs: nnx.Rngs | None = None,
         capture_features: bool = False,
+        block_cache: Any = None,
+        cache_refresh: jax.Array | bool | None = None,
     ) -> ModelOutput:
         del capture_features
         cond = cond or {}
@@ -445,6 +494,15 @@ class UNetModel(Denoiser):
         if x_context is not None:
             x = jnp.concatenate([x, x_context], axis=-1)
 
+        use_cache = (
+            self.cache_split is not None
+            and block_cache is not None
+            and cache_refresh is not None
+        )
+        if use_cache:
+            return self._cached_forward(x, emb, context, attn_mask, train, rngs,
+                                        block_cache, cache_refresh)
+
         hs: list[jax.Array] = []
         h = x
         for block_group in self.input_blocks:
@@ -458,3 +516,46 @@ class UNetModel(Denoiser):
             for block in block_group:
                 h = _apply_block(block, h, emb, context, attn_mask, train, rngs)
         return {"x": self.out_conv(jax.nn.silu(self.out_norm(h)))}
+
+    def _cached_forward(self, x, emb, context, attn_mask, train, rngs,
+                        block_cache, cache_refresh) -> ModelOutput:
+        """DeepCache forward: the deep segment (encoder groups [k:], middle,
+        decoder groups [: N-k]) runs under ``lax.cond(refresh, ...)``; reuse
+        steps splice in the cached deep decoder feature instead."""
+        k = self.cache_split
+        n = len(self.input_blocks)
+        dt = self._cache_dtype()
+        hs: list[jax.Array] = []
+        h = x
+        for block_group in list(self.input_blocks)[:k]:
+            for block in block_group:
+                h = _apply_block(block, h, emb, context, attn_mask, train, rngs)
+            hs.append(h)
+
+        def deep(h_in):
+            hh = h_in
+            deep_hs: list[jax.Array] = []
+            for block_group in list(self.input_blocks)[k:]:
+                for block in block_group:
+                    hh = _apply_block(block, hh, emb, context, attn_mask, train, rngs)
+                deep_hs.append(hh)
+            for block in self.middle_block:
+                hh = _apply_block(block, hh, emb, context, attn_mask, train, rngs)
+            for block_group in list(self.output_blocks)[: n - k]:
+                hh = jnp.concatenate([hh, deep_hs.pop()], axis=-1)
+                for block in block_group:
+                    hh = _apply_block(block, hh, emb, context, attn_mask, train, rngs)
+            return hh.astype(dt)
+
+        def reuse(h_in):
+            del h_in
+            return block_cache[0].astype(dt)
+
+        h = jax.lax.cond(cache_refresh, deep, reuse, h)
+        new_cache = (h,)
+        for block_group in list(self.output_blocks)[n - k:]:
+            h = jnp.concatenate([h, hs.pop()], axis=-1)
+            for block in block_group:
+                h = _apply_block(block, h, emb, context, attn_mask, train, rngs)
+        return {"x": self.out_conv(jax.nn.silu(self.out_norm(h))),
+                "block_cache": new_cache}

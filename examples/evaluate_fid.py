@@ -91,6 +91,12 @@ def main() -> None:
                         help="autoguidance (arXiv:2406.02507): checkpoint of a DEGRADED "
                              "sibling (early epoch / long-horizon EMA) that replaces the "
                              "unconditional branch; requires --guidance > 0")
+    parser.add_argument("--cache-interval", type=int, default=None,
+                        help="Delta-DiT block caching: refresh the cached block "
+                             "span every N denoise steps (training-free speedup)")
+    parser.add_argument("--cache-span", type=int, nargs=2, default=None,
+                        metavar=("LO", "HI"),
+                        help="block index range [LO, HI) to cache between refreshes")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args()
@@ -121,6 +127,10 @@ def main() -> None:
         # respace instead of rebuilding: gaussian models keep their training
         # beta tables (constructing with tiny n_steps would redefine them)
         diffuser.set_steps(args.steps)
+    if args.cache_interval:
+        assert args.cache_span is not None, "--cache-interval needs --cache-span LO HI"
+        diffuser.set_block_cache(args.cache_interval, tuple(args.cache_span))
+        print(f"block cache: interval={args.cache_interval} span={args.cache_span}")
     # LoRA-run checkpoints store adapters in params / base in rest; wrap the
     # model the same way the training CLI did before restoring. An `ema` dir
     # from a LoRA run holds ONLY adapter params, so the base weights must be

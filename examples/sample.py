@@ -64,6 +64,12 @@ def main() -> None:
     parser.add_argument("--strength", type=float, default=0.6,
                         help="img2img noise strength in (0, 1]: fraction of the schedule run")
     parser.add_argument("--separate", action="store_true", help="also write per-image PNGs")
+    parser.add_argument("--cache-interval", type=int, default=None,
+                        help="Delta-DiT block caching: refresh the cached block "
+                             "span every N denoise steps (training-free speedup)")
+    parser.add_argument("--cache-span", type=int, nargs=2, default=None,
+                        metavar=("LO", "HI"),
+                        help="block index range [LO, HI) to cache between refreshes")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args()
@@ -98,6 +104,9 @@ def main() -> None:
     )
     if args.steps:
         diffuser.set_steps(args.steps)
+    if args.cache_interval:
+        assert args.cache_span is not None, "--cache-interval needs --cache-span LO HI"
+        diffuser.set_block_cache(args.cache_interval, tuple(args.cache_span))
 
     lora_rank = cfg["trainer"].get("lora_rank")
     if lora_rank:
