@@ -141,6 +141,8 @@ class EDM:
         drop: jax.Array | None = None,
         extra_losses: Sequence[Any] = (),
         extra_args: dict[str, Any] | None = None,
+        distill_fn: ModelFn | None = None,
+        distill_guidance: float = 0.0,
     ) -> dict[str, jax.Array]:
         xt, noise = self.add_noise(x0, timesteps, noise)
         if drop is None:
@@ -151,7 +153,16 @@ class EDM:
         sd = self.sigma_data
         s = timesteps.reshape(-1, *([1] * (x0.ndim - 1))).astype(jnp.float32)
         weight = (s**2 + sd**2) / (s * sd) ** 2
-        loss = jnp.mean(weight * (denoised - x0.astype(jnp.float32)) ** 2)
+        # guidance distillation (arXiv:2210.03142; see flow.py::compute_loss):
+        # regress the student's D(x;sigma) onto the frozen teacher's guided
+        # denoised image under the same lambda(sigma) weighting
+        target = x0.astype(jnp.float32)
+        if distill_fn is not None:
+            target = jax.lax.stop_gradient(
+                self._denoised_cfg(distill_fn, xt, timesteps, cond,
+                                   distill_guidance, use_cfg=True)
+            )
+        loss = jnp.mean(weight * (denoised - target) ** 2)
         loss_dict = {"loss": loss}
         for extra_loss in extra_losses:
             # forward the full raw prediction (captured features etc.) with

@@ -186,15 +186,40 @@ class Flow:
         drop: jax.Array | None = None,
         extra_losses: Sequence[Any] = (),
         extra_args: dict[str, Any] | None = None,
+        distill_fn: ModelFn | None = None,
+        distill_guidance: float = 0.0,
     ) -> dict[str, jax.Array]:
         """Flow-matching MSE plus any auxiliary losses (reference flow.py:262-315).
 
         ``drop`` is the per-sample CFG condition-drop mask drawn by the trainer.
+
+        ``distill_fn`` switches to guidance distillation (arXiv:2210.03142;
+        no reference counterpart): the regression target becomes the FROZEN
+        teacher's CFG-guided raw prediction at ``distill_guidance`` instead
+        of the data velocity, so the student reproduces guided sampling in a
+        single forward (guidance_scale=0 at generation — half the sampling
+        FLOPs of the fused 2x CFG batch). Targets live in raw model-output
+        space, so v- and x-prediction students distill identically.
         """
         xt, noise = self.add_noise(x0, timesteps, noise)
         if drop is None:
             drop = jnp.zeros((x0.shape[0],), dtype=bool)
         prediction = model_fn(x=xt, timesteps=timesteps, cond=cond, drop=drop)
+        if distill_fn is not None:
+            target = jax.lax.stop_gradient(
+                _cfg_model_call(
+                    distill_fn, xt, timesteps, cond, distill_guidance,
+                    use_cfg=True, guidance_interval=self.guidance_interval,
+                    guidance_rescale=self.guidance_rescale,
+                )
+            ).astype(jnp.float32)
+            losses = (target - prediction["x"].astype(jnp.float32)) ** 2
+            loss_dict = {"loss": flatten_nonbatch_mean(losses).mean()}
+            for extra_loss in extra_losses:
+                loss_dict[extra_loss.name] = extra_loss(
+                    model_output=prediction, **{"x0": x0, **(extra_args or {})}
+                )
+            return loss_dict
         v_pred = prediction["x"]
         if self.x_prediction:
             v_pred = (xt - v_pred) / batch_broadcast(timesteps, xt.ndim)

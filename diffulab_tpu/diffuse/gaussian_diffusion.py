@@ -190,6 +190,8 @@ class GaussianDiffusion:
         extra_losses: Sequence[Any] = (),
         extra_args: dict[str, Any] | None = None,
         vlb_weight: float = 1e-3,
+        distill_fn: ModelFn | None = None,
+        distill_guidance: float = 0.0,
     ) -> dict[str, jax.Array]:
         """Epsilon-prediction MSE (reference :268-311) plus, when the sampler
         uses a learned variance, the Improved-DDPM hybrid VLB term (the
@@ -209,7 +211,22 @@ class GaussianDiffusion:
             head, _ = jnp.split(out, 2, axis=-1)
         else:
             head = out
-        target = self._training_target(x0, noise, timesteps, xt)
+        if distill_fn is not None:
+            # guidance distillation (arXiv:2210.03142; see flow.py): target =
+            # the frozen teacher's guided raw head. Fixed-variance only — the
+            # hybrid VLB term trains the variance against the data posterior,
+            # which a guided-mean target does not define.
+            assert not learned_var, (
+                "guidance distillation requires a fixed-variance gaussian student"
+            )
+            from diffulab_tpu.diffuse.flow import _cfg_model_call
+
+            guided = _cfg_model_call(
+                distill_fn, xt, model_timesteps, cond, distill_guidance, use_cfg=True
+            )
+            target = jax.lax.stop_gradient(guided.astype(jnp.float32))
+        else:
+            target = self._training_target(x0, noise, timesteps, xt)
         if self.loss_weighting == "min_snr":
             # per-sample MSE reweighted so each timestep contributes at most
             # an x0-equivalent weight of gamma; the factor depends on what the

@@ -124,13 +124,14 @@ def trainable_filter(denoiser, *, lora: bool = False, train_embedder: bool = Fal
 
     if lora:
         return nnx.LoRAParam
-    exclude = []
+    # the guidance-distillation teacher is always frozen (it only exists as
+    # a _TrainModules attribute during distillation runs; the path never
+    # matches otherwise, so the exclusion is unconditional and harmless)
+    exclude = [nnx.Not(nnx.PathContains("distill_teacher"))]
     if freeze_repa_encoder:
         exclude.append(nnx.Not(nnx.PathContains("repa_encoder")))
     if not train_embedder and getattr(denoiser, "context_embedder", None) is not None:
         exclude.append(nnx.Not(nnx.PathContains("context_embedder")))
-    if not exclude:
-        return nnx.Param
     return nnx.All(nnx.Param, *exclude)
 
 

@@ -65,9 +65,14 @@ class _TrainModules(nnx.Module):
     trainable parameters (the reference optimizes denoiser + RepaLoss
     projection jointly, examples/train_repa.py:73-78)."""
 
-    def __init__(self, denoiser: Any, extra_losses: list[Any]):
+    def __init__(self, denoiser: Any, extra_losses: list[Any],
+                 distill_teacher: Any = None):
         self.denoiser = denoiser
         self.extra_losses = nnx.List(extra_losses)
+        # frozen guidance-distillation teacher: excluded from the trainable
+        # split (checkpoint.py::trainable_filter) so the optimizer never
+        # touches it (weight decay would otherwise erode a "zero-grad" copy)
+        self.distill_teacher = nnx.data(distill_teacher)
 
 
 class Trainer:
@@ -96,6 +101,7 @@ class Trainer:
         posthoc_ema_gammas: tuple[float, ...] = DEFAULT_GAMMAS,
         save_every_n_epochs: int | None = None,
         augment_p: float = 0.0,
+        distill_guidance: float = 0.0,
     ):
         del compile  # everything is jit-compiled; flag kept for config parity
         self.n_epoch = n_epoch
@@ -132,6 +138,9 @@ class Trainer:
         # the train loss only, with the transform labels fed to the model via
         # cond["augment_labels"]; requires the model's augment_dim > 0
         self.augment_p = augment_p
+        # guidance distillation (arXiv:2210.03142): CFG weight the frozen
+        # teacher is evaluated at; > 0 required when train(distill_teacher=...)
+        self.distill_guidance = distill_guidance
         if save_path is None:
             save_path = Path.home() / "experiments" / datetime.now().strftime("%Y%m%d_%H%M%S")
         self.save_path = Path(save_path) / project_name
@@ -267,6 +276,17 @@ class BaseTrainer(Trainer):
         use_ema = self.use_ema
         ema_config = self.ema_config
         capture = len(diffuser.extra_losses) > 0
+        distill_guidance = self.distill_guidance
+
+        def _distill_kwargs(modules, w):
+            teacher = getattr(modules, "distill_teacher", None)
+            if teacher is None:
+                return {}
+
+            def teacher_fn(**kw):
+                return teacher(**kw, train=False)
+
+            return {"distill_fn": teacher_fn, "distill_guidance": w}
 
         def _fold_rng_state(rng_state, step):
             # advance module-held PRNG streams (dropout etc.) once per step
@@ -322,6 +342,7 @@ class BaseTrainer(Trainer):
                 model_fn, x0, cond, timesteps, noise, drop=drop,
                 extra_losses=list(modules.extra_losses),
                 extra_args=batch.get("extra") or {},
+                **_distill_kwargs(modules, distill_guidance),
             )
             total = sum(losses.values())
             return total, losses
@@ -365,6 +386,7 @@ class BaseTrainer(Trainer):
                 model_fn, x0, cond, timesteps, noise,
                 extra_losses=list(modules.extra_losses),
                 extra_args=batch.get("extra") or {},
+                **_distill_kwargs(modules, distill_guidance),
             )
 
         eval_step = jax.jit(eval_loss_fn)
@@ -475,6 +497,7 @@ class BaseTrainer(Trainer):
         steps_per_epoch: int | None = None,
         lora_only: bool = False,
         auto_resume: bool = False,
+        distill_teacher: Any = None,
     ) -> None:
         resume_best_val = float("inf")
         if auto_resume:
@@ -498,6 +521,18 @@ class BaseTrainer(Trainer):
             )
         if not getattr(diffuser.denoiser, "classifier_free", False):
             p_classifier_free_guidance = 0.0
+        if distill_teacher is not None:
+            assert self.distill_guidance > 0, (
+                "distill_teacher needs trainer.distill_guidance > 0 (the CFG "
+                "weight being distilled into the student)"
+            )
+            # the student regresses onto guided targets and samples at
+            # guidance 0 — training its own uncond branch is meaningless
+            p_classifier_free_guidance = 0.0
+            logger.info(
+                f"guidance distillation: teacher CFG w={self.distill_guidance}, "
+                "p_cfg forced to 0"
+            )
 
         # attach extra losses (e.g. REPA feature-capture registration) BEFORE
         # splitting, so static attrs like feature_layers are final
@@ -535,7 +570,8 @@ class BaseTrainer(Trainer):
             optimizer = optax.MultiSteps(optimizer, every_k_schedule=self.gradient_accumulation_step)
 
         # --- split modules into trainable params / the rest ---------------
-        modules = _TrainModules(diffuser.denoiser, diffuser.extra_losses)
+        modules = _TrainModules(diffuser.denoiser, diffuser.extra_losses,
+                                distill_teacher=distill_teacher)
         # adapter-only runs: base weights ride frozen in `rest`; otherwise
         # Params minus frozen submodules (context_embedder / repa_encoder) —
         # see checkpoint.py::trainable_filter (the checkpoint layout)

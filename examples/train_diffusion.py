@@ -84,6 +84,23 @@ def main() -> None:
         print(f"{variant.upper()}: wrapped {n_adapters} projections at rank {lora_rank} "
               f"({count_lora_params(denoiser):,} adapter params)")
 
+    # guidance distillation (trainer.distill_from + trainer.distill_guidance):
+    # the teacher is a frozen copy restored from a trained checkpoint; the
+    # student warm-starts from the same weights unless a denoiser_ckpt is given
+    distill_teacher = None
+    distill_from = cfg["trainer"].get("distill_from")
+    if distill_from:
+        from diffulab_tpu.training.checkpoint import restore_train_modules
+        from diffulab_tpu.training.trainer import _TrainModules
+
+        distill_teacher = instantiate(cfg["model"], rngs=nnx.Rngs(args.seed + 2),
+                                      **model_dtype_kwargs(cfg["trainer"]))
+        restore_train_modules(distill_from, _TrainModules(distill_teacher, []))
+        print(f"distillation teacher restored from {distill_from}")
+        if not cfg["trainer"].get("denoiser_ckpt"):
+            restore_train_modules(distill_from, _TrainModules(denoiser, []))
+            print("student warm-started from the teacher weights")
+
     print(f"Number of trainable parameters: {count_parameters(denoiser):,}")
 
     # optional REPA auxiliary loss on pixel-space runs: a `repa:` config
@@ -127,6 +144,7 @@ def main() -> None:
         posthoc_ema_gammas=tuple(trainer_cfg.get("posthoc_ema_gammas", (6.94, 16.97))),
         save_every_n_epochs=trainer_cfg.get("save_every_n_epochs"),
         augment_p=trainer_cfg.get("augment_p", 0.0),
+        distill_guidance=trainer_cfg.get("distill_guidance", 0.0),
     )
 
     scheduler = None
@@ -151,6 +169,7 @@ def main() -> None:
         auto_resume=trainer_cfg.get("auto_resume", False),
         seed=args.seed,
         lora_only=bool(trainer_cfg.get("lora_rank")),
+        distill_teacher=distill_teacher,
     )
 
 
