@@ -404,9 +404,20 @@ class UNetModel(Denoiser):
         self._out_group_meta = out_group_meta
         self._compute_dtype = dtype
         self.cache_split: int | None = None  # static; set via set_block_cache_span
+        # U-REPA feature capture (arXiv:2503.18414; RepaLoss.set_model writes
+        # this): flat capture-point indices over input groups (0..N-1), the
+        # middle block (N), and output groups (N+1..2N) — see `layers`
+        self.feature_layers: tuple[int, ...] = ()
 
         self.out_norm = GroupNorm32(32, ch, rngs=rngs, param_dtype=param_dtype)
         self.out_conv = zero_conv(input_ch, out_channels, (3, 3), **kw)
+
+    @property
+    def layers(self):
+        """Flat capture-point list for REPA's ``set_model`` range check:
+        encoder groups, then the middle block (one point), then decoder
+        groups — matching the capture order in ``__call__``."""
+        return list(self.input_blocks) + [self.middle_block] + list(self.output_blocks)
 
     # --- sampling-time deep-feature caching (DeepCache-style) ----------------
     # Training-free sampling acceleration (DeepCache, arXiv:2312.00858;
@@ -460,7 +471,6 @@ class UNetModel(Denoiser):
         block_cache: Any = None,
         cache_refresh: jax.Array | bool | None = None,
     ) -> ModelOutput:
-        del capture_features
         cond = cond or {}
         y = cond.get("y")
         context_raw = cond.get("context")
@@ -499,9 +509,26 @@ class UNetModel(Denoiser):
             and block_cache is not None
             and cache_refresh is not None
         )
+        assert not (use_cache and capture_features), (
+            "block caching is a sampling-time feature; feature capture "
+            "(REPA) is a training-time one — they don't compose"
+        )
         if use_cache:
             return self._cached_forward(x, emb, context, attn_mask, train, rngs,
                                         block_cache, cache_refresh)
+
+        # U-REPA capture points (arXiv:2503.18414): one per encoder group,
+        # one after the middle block, one per decoder group — flattened to
+        # [B, H*W, C] token streams like the DiT capture
+        features: list[jax.Array] = []
+        fl = self.feature_layers if capture_features else ()
+        bi = 0
+
+        def _capture(t):
+            nonlocal bi
+            if bi in fl:
+                features.append(t.reshape(t.shape[0], -1, t.shape[-1]))
+            bi += 1
 
         hs: list[jax.Array] = []
         h = x
@@ -509,13 +536,19 @@ class UNetModel(Denoiser):
             for block in block_group:
                 h = _apply_block(block, h, emb, context, attn_mask, train, rngs)
             hs.append(h)
+            _capture(h)
         for block in self.middle_block:
             h = _apply_block(block, h, emb, context, attn_mask, train, rngs)
+        _capture(h)
         for block_group in self.output_blocks:
             h = jnp.concatenate([h, hs.pop()], axis=-1)
             for block in block_group:
                 h = _apply_block(block, h, emb, context, attn_mask, train, rngs)
-        return {"x": self.out_conv(jax.nn.silu(self.out_norm(h)))}
+            _capture(h)
+        out: ModelOutput = {"x": self.out_conv(jax.nn.silu(self.out_norm(h)))}
+        if capture_features:
+            out["features"] = features
+        return out
 
     def _cached_forward(self, x, emb, context, attn_mask, train, rngs,
                         block_cache, cache_refresh) -> ModelOutput:

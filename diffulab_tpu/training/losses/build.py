@@ -36,8 +36,16 @@ def build_extra_losses(cfg: dict[str, Any], *, seed: int = 0,
         from diffulab_tpu.training.losses.repa import RepaLoss
 
         live = "repa_encoder" in repa_cfg or "encoder_args" in repa_cfg
+        # DiT-family models carry one token width (inner_dim); UNet capture
+        # points have per-layer channel widths, so U-REPA recipes must name
+        # the width of the chosen alignment layer explicitly
+        denoiser_dim = repa_cfg.get("denoiser_dimension") or cfg["model"].get("inner_dim")
+        assert denoiser_dim is not None, (
+            "REPA needs the aligned-layer token width: set model.inner_dim "
+            "(DiT) or repa.denoiser_dimension (UNet capture-point channels)"
+        )
         common: dict[str, Any] = dict(
-            denoiser_dimension=cfg["model"]["inner_dim"],
+            denoiser_dimension=denoiser_dim,
             alignment_layer=repa_cfg.get("alignment_layer", 8),
             use_resampler=resampler_cfg.get("use_resampler", False),
             resampler_params=resampler_cfg.get("parameters"),
