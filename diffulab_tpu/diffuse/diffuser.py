@@ -109,7 +109,8 @@ class Diffuser:
         )
         assert span is not None, "block caching needs a (lo, hi) block span"
         self.denoiser.set_block_cache_span((int(span[0]), int(span[1])))
-        self._block_cache = {"interval": int(interval)}
+        self._block_cache = {"interval": int(interval),
+                             "span": (int(span[0]), int(span[1]))}
         self._generate_cache.clear()
 
     # --- training loss -------------------------------------------------------
@@ -176,6 +177,7 @@ class Diffuser:
                 return m(**kw, train=False)
 
             guide_fn = None
+            bad = None
             if guide_state is not None:
                 bad = nnx.merge(guide_graphdef, guide_state)
 
@@ -185,7 +187,17 @@ class Diffuser:
             block_cache0 = None
             if block_cache is not None:
                 sample_shape = data_shape if x is None else x.shape
-                block_cache0 = m.init_block_cache(sample_shape, cond, use_cfg)
+                # under autoguidance the CFG negative branch is the guide
+                # model's own (unconcatenated, batch-B) forward, so the main
+                # model never sees the fused 2x batch — each model carries
+                # its own cache in the (main, guide) pair (diffuse/caching.py)
+                main0 = m.init_block_cache(
+                    sample_shape, cond, use_cfg and guide_state is None
+                )
+                guide0: Any = ()
+                if bad is not None:
+                    guide0 = bad.init_block_cache(sample_shape, cond, False)
+                block_cache0 = (main0, guide0)
 
             out = diffusion.denoise(
                 model_fn, cond, rng,
@@ -250,6 +262,14 @@ class Diffuser:
         guide_graphdef = guide_state = None
         if guide_denoiser is not None:
             assert use_cfg, "guide_denoiser requires guidance_scale > 0"
+            if self._block_cache is not None:
+                # the guide model is cached too (its own cache in the
+                # (main, guide) pair) — mirror the denoiser's span on it
+                assert hasattr(guide_denoiser, "set_block_cache_span"), (
+                    f"{type(guide_denoiser).__name__} does not support block "
+                    "caching; disable set_block_cache before autoguidance"
+                )
+                guide_denoiser.set_block_cache_span(self._block_cache["span"])
             guide_graphdef, guide_state = nnx.split(guide_denoiser)
         key = (
             shape, x is None, clamp_x, use_cfg, return_intermediates, decode,

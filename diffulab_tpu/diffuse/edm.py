@@ -25,7 +25,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from diffulab_tpu.diffuse.caching import wrap_block_cache
 from diffulab_tpu.diffuse.guidance import combine_cfg, effective_scale
+from diffulab_tpu.diffuse.samplers.common import unipc_bh2_correction
 
 ModelFn = Callable[..., dict[str, jax.Array]]
 
@@ -211,20 +213,15 @@ class EDM:
             m_last = state["m_last"].astype(jnp.float32)
 
             # UniC: correct the previous transition using this step's eval
+            # (shared bh2 coefficient solve: samplers/common.py)
             hh_c = state["lam_last"] - lam_curr  # -h_c < 0
             hh_c_safe = jnp.where(n_prev > 0, hh_c, -1.0)
-            phi1_c = jnp.expm1(hh_c_safe)
-            d1_t = m0 - m_last
             r0c = (state["lam_last2"] - state["lam_last"]) / (-hh_c_safe)
             r0c_safe = jnp.where(n_prev > 1, r0c, -1.0)
-            hk1 = phi1_c / hh_c_safe - 1.0
-            b1 = hk1 / phi1_c
-            b2 = (hk1 / hh_c_safe - 0.5) * 2.0 / phi1_c
-            det = jnp.where(jnp.abs(1.0 - r0c_safe) > 1e-8, 1.0 - r0c_safe, 1.0)
-            rho0 = (b1 - b2) / det
-            rho1 = (b2 - r0c_safe * b1) / det
-            d1_0 = (state["m_last2"].astype(jnp.float32) - m_last) / r0c_safe
-            corr = jnp.where(n_prev > 1, rho0 * d1_0 + rho1 * d1_t, 0.5 * d1_t)
+            phi1_c, corr = unipc_bh2_correction(
+                hh_c_safe, r0c_safe, n_prev, m0, m_last,
+                state["m_last2"].astype(jnp.float32),
+            )
             x_corr = (
                 jnp.exp(hh_c_safe) * state["x_last"].astype(jnp.float32)
                 - phi1_c * m_last - phi1_c * corr
@@ -376,24 +373,19 @@ class EDM:
             x_t, step_rng, s_state, mcache = carry
             pair, step_idx = xs
             step_rng, use_rng = jax.random.split(step_rng)
-            # sampling-time block caching (see flow.py::denoise); the final
+            # sampling-time block caching (diffuse/caching.py); the final
             # sigma_min -> 0 collapse below stays uncached (exact)
-            step_model_fn = model_fn
-            cell = {"c": mcache}
-            if block_cache0 is not None:
-                refresh = (step_idx % cache_interval) == 0
-
-                def step_model_fn(**kw):
-                    out = model_fn(**kw, block_cache=cell["c"], cache_refresh=refresh)
-                    cell["c"] = out["block_cache"]
-                    return out
+            step_model_fn, step_guide_fn, cell = wrap_block_cache(
+                model_fn, guide_fn, mcache, step_idx, cache_interval,
+                enabled=block_cache0 is not None,
+            )
 
             step = self.one_step_denoise(
                 step_model_fn, x_t, cond, pair[1], pair[0],
                 guidance_scale=guidance_scale, use_cfg=use_cfg,
                 rng=use_rng if self.s_churn > 0 else None,
                 sampler_args={"state": s_state} if multistep else None,
-                guide_fn=guide_fn,
+                guide_fn=step_guide_fn,
             )
             s_state = step.pop("state", s_state)
             x_next = step["x_prev"]

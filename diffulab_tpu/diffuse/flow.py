@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from diffulab_tpu.diffuse.caching import wrap_block_cache
 from diffulab_tpu.diffuse.guidance import combine_cfg, effective_scale
 from diffulab_tpu.diffuse.samplers.common import StepResult
 from diffulab_tpu.diffuse.samplers.flow import DPMSolverPP2M, Euler, EulerMaruyama, Heun, UniPC
@@ -346,25 +347,19 @@ class Flow:
             t_pair, step_idx = xs
             step_rng, use_rng = jax.random.split(step_rng)
             t_curr, t_prev = t_pair[0], t_pair[1]
-            # sampling-time block caching: wrap the model so the cached span
-            # delta threads through the scan carry (refresh every K-th step;
-            # the trace-time cell survives multi-eval samplers like Heun)
-            step_model_fn = model_fn
-            cell = {"c": mcache}
-            if block_cache0 is not None:
-                refresh = (step_idx % cache_interval) == 0
-
-                def step_model_fn(**kw):
-                    out = model_fn(**kw, block_cache=cell["c"], cache_refresh=refresh)
-                    cell["c"] = out["block_cache"]
-                    return out
+            # sampling-time block caching: thread the (main, guide) cache
+            # pair through the scan carry (diffuse/caching.py)
+            step_model_fn, step_guide_fn, cell = wrap_block_cache(
+                model_fn, guide_fn, mcache, step_idx, cache_interval,
+                enabled=block_cache0 is not None,
+            )
 
             step = self.one_step_denoise(
                 step_model_fn, x_t, cond, t_prev, t_curr,
                 guidance_scale=guidance_scale, use_cfg=use_cfg,
                 rng=use_rng if stochastic else None,
                 sampler_args={"state": s_state} if multistep else None,
-                guide_fn=guide_fn,
+                guide_fn=step_guide_fn,
             )
             s_state = step.pop("state", s_state)
             x_next = step["x_prev"]

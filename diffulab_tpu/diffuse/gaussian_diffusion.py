@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from diffulab_tpu.diffuse.caching import wrap_block_cache
 from diffulab_tpu.diffuse.guidance import combine_cfg, effective_scale
 from diffulab_tpu.diffuse.samplers.common import StepResult
 from diffulab_tpu.diffuse.samplers.gaussian import (
@@ -219,11 +220,20 @@ class GaussianDiffusion:
             assert not learned_var, (
                 "guidance distillation requires a fixed-variance gaussian student"
             )
-            from diffulab_tpu.diffuse.flow import _cfg_model_call
-
-            guided = _cfg_model_call(
-                distill_fn, xt, model_timesteps, cond, distill_guidance, use_cfg=True
-            )
+            # fused 2x teacher forward with the SAME interval/rescale shaping
+            # the teacher's own sampling applies (one_step_denoise above) —
+            # the interval is in ORIGINAL-schedule fractions, so the flow
+            # _cfg_model_call (flow-time units) cannot be reused here
+            b = xt.shape[0]
+            x2 = jnp.concatenate([xt, xt], axis=0)
+            t2 = jnp.concatenate([model_timesteps, model_timesteps], axis=0)
+            cond2 = jax.tree.map(lambda c: jnp.concatenate([c, c], axis=0), cond)
+            drop2 = jnp.concatenate([jnp.zeros((b,), bool), jnp.ones((b,), bool)])
+            t_out = distill_fn(x=x2, timesteps=t2, cond=cond2, drop=drop2)["x"]
+            t_cond, t_uncond = jnp.split(t_out, 2, axis=0)
+            frac = timesteps.astype(jnp.float32) / max(self.training_steps - 1, 1)
+            scale = effective_scale(distill_guidance, frac, self.guidance_interval)
+            guided = combine_cfg(t_cond, t_uncond, scale, self.guidance_rescale)
             target = jax.lax.stop_gradient(guided.astype(jnp.float32))
         else:
             target = self._training_target(x0, noise, timesteps, xt)
@@ -434,23 +444,18 @@ class GaussianDiffusion:
             x_t, step_rng, s_state, mcache = carry
             t, step_idx = xs
             step_rng, use_rng = jax.random.split(step_rng)
-            # sampling-time block caching (see flow.py::denoise)
-            step_model_fn = model_fn
-            cell = {"c": mcache}
-            if block_cache0 is not None:
-                refresh = (step_idx % cache_interval) == 0
-
-                def step_model_fn(**kw):
-                    out = model_fn(**kw, block_cache=cell["c"], cache_refresh=refresh)
-                    cell["c"] = out["block_cache"]
-                    return out
+            # sampling-time block caching (diffuse/caching.py)
+            step_model_fn, step_guide_fn, cell = wrap_block_cache(
+                model_fn, guide_fn, mcache, step_idx, cache_interval,
+                enabled=block_cache0 is not None,
+            )
 
             step = self.one_step_denoise(
                 step_model_fn, x_t, cond, t,
                 clamp_x=clamp_x, guidance_scale=guidance_scale, use_cfg=use_cfg,
                 rng=use_rng,
                 sampler_args={"state": s_state} if multistep else None,
-                guide_fn=guide_fn,
+                guide_fn=step_guide_fn,
             )
             s_state = step.pop("state", s_state)
             x_next = step["x_prev"]

@@ -14,7 +14,11 @@ import math
 import jax
 import jax.numpy as jnp
 
-from diffulab_tpu.diffuse.samplers.common import FlowSampler, StepResult
+from diffulab_tpu.diffuse.samplers.common import (
+    FlowSampler,
+    StepResult,
+    unipc_bh2_correction,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -254,29 +258,19 @@ class UniPC(FlowSampler):
         # the model output m0 just evaluated at the (uncorrected) x_t
         hh_c = state["lam_last"] - lam_curr  # = -(lam_curr - lam_last) < 0
         hh_c_safe = jnp.where(n_prev > 0, hh_c, -1.0)
-        phi1_c = jnp.expm1(hh_c_safe)
-        b_c = phi1_c  # bh2
-        d1_t = m0 - m_last
-        # order-1 corrector coefficients: rhos = [0.5] on D1_t
-        # order-2: solve [[1, 1], [r0, 1]] rhos = [b1, b2]
         # rk normalizes lambda gaps by h = lam_curr - lam_last > 0 (phi/B use
-        # hh = -h, the data-prediction convention) => r0 < 0 for past points
+        # hh = -h, the data-prediction convention) => r0 < 0 for past points;
+        # the bh2 coefficient solve is shared (samplers/common.py)
         r0c = (state["lam_last2"] - state["lam_last"]) / (-hh_c_safe)
         r0c_safe = jnp.where(n_prev > 1, r0c, -1.0)
-        hk1 = phi1_c / hh_c_safe - 1.0
-        b1 = hk1 / b_c
-        b2 = (hk1 / hh_c_safe - 0.5) * 2.0 / b_c
-        det = jnp.where(jnp.abs(1.0 - r0c_safe) > 1e-8, 1.0 - r0c_safe, 1.0)
-        rho0 = (b1 - b2) / det
-        rho1 = (b2 - r0c_safe * b1) / det
-        d1_0 = (m_last2 - m_last) / r0c_safe
-        corr2 = rho0 * d1_0 + rho1 * d1_t
-        corr = jnp.where(n_prev > 1, corr2, 0.5 * d1_t)
+        phi1_c, corr = unipc_bh2_correction(
+            hh_c_safe, r0c_safe, n_prev, m0, m_last, m_last2
+        )
         t_last = jax.nn.sigmoid(-state["lam_last"])  # inverse of _lam
         x_corr = (
             (t_curr / jnp.maximum(t_last, self.t_eps)) * state["x_last"].astype(f32)
             - (1.0 - t_curr) * phi1_c * m_last
-            - (1.0 - t_curr) * b_c * corr
+            - (1.0 - t_curr) * phi1_c * corr
         )
         x_used = jnp.where(n_prev > 0, x_corr, x_t.astype(f32))
 

@@ -19,7 +19,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from diffulab_tpu.diffuse.samplers.common import GaussianSampler, StepResult
+from diffulab_tpu.diffuse.samplers.common import (
+    GaussianSampler,
+    StepResult,
+    unipc_bh2_correction,
+)
 from diffulab_tpu.diffuse.schedules import extract_into_tensor
 
 MEAN_TYPES = ("epsilon", "xstart", "xprev")
@@ -386,18 +390,13 @@ class UniPCGaussian(DDPM):
         # ---- UniC: correct the previous transition with this step's eval
         hh_c = state["lam_last"] - lam_t  # -h_c < 0 once history exists
         hh_c_safe = jnp.where(n_prev > 0, jnp.minimum(hh_c, -eps_), -1.0)
-        phi1_c = jnp.expm1(hh_c_safe)
-        d1_t = m0 - m_last
+        # shared bh2 coefficient solve (samplers/common.py)
         r0c = (state["lam_last2"] - state["lam_last"]) / (-hh_c_safe)
         r0c_safe = jnp.where(n_prev > 1, r0c, -1.0)
-        hk1 = phi1_c / hh_c_safe - 1.0
-        b1 = hk1 / phi1_c
-        b2 = (hk1 / hh_c_safe - 0.5) * 2.0 / phi1_c
-        det = jnp.where(jnp.abs(1.0 - r0c_safe) > 1e-8, 1.0 - r0c_safe, 1.0)
-        rho0 = (b1 - b2) / det
-        rho1 = (b2 - r0c_safe * b1) / det
-        d1_0 = (state["m_last2"].astype(jnp.float32) - m_last) / r0c_safe
-        corr = jnp.where(n_prev > 1, rho0 * d1_0 + rho1 * d1_t, 0.5 * d1_t)
+        phi1_c, corr = unipc_bh2_correction(
+            hh_c_safe, r0c_safe, n_prev, m0, m_last,
+            state["m_last2"].astype(jnp.float32),
+        )
         x_corr = (
             (sigma_t / jnp.maximum(state["sig_last"], eps_)) * state["x_last"].astype(jnp.float32)
             - alpha_t * phi1_c * m_last - alpha_t * phi1_c * corr

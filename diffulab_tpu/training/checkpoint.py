@@ -124,10 +124,9 @@ def trainable_filter(denoiser, *, lora: bool = False, train_embedder: bool = Fal
 
     if lora:
         return nnx.LoRAParam
-    # the guidance-distillation teacher is always frozen (it only exists as
-    # a _TrainModules attribute during distillation runs; the path never
-    # matches otherwise, so the exclusion is unconditional and harmless)
-    exclude = [nnx.Not(nnx.PathContains("distill_teacher"))]
+    # (the guidance-distillation teacher never enters _TrainModules — it
+    # rides as an explicit step argument — so no exclusion is needed here)
+    exclude = []
     if freeze_repa_encoder:
         exclude.append(nnx.Not(nnx.PathContains("repa_encoder")))
     if not train_embedder and getattr(denoiser, "context_embedder", None) is not None:
@@ -183,3 +182,45 @@ def restore_train_modules(
                 f"restore with the current trainable split failed ({e!r}); "
                 f"retrying with the legacy repa-encoder-in-params layout"
             )
+
+
+def restore_sampling_model(
+    ckpt_path: str | Path,
+    denoiser,
+    extra_losses: list,
+    trainer_cfg: dict,
+    *,
+    seed: int = 0,
+) -> None:
+    """Restore a run checkpoint into a freshly built denoiser for the
+    sampling/eval CLIs, replicating the exact wrap order the training CLI
+    used for LoRA runs: restore ``trainer.lora_from`` base weights, wrap
+    with :func:`~diffulab_tpu.training.lora.apply_lora`, THEN restore the
+    adapter checkpoint. Used for both the main model and autoguidance
+    ``--guide-ckpt`` models (a guide checkpoint from a LoRA run is itself
+    adapter-layout, so it needs the same base + wrap treatment — restoring
+    it into an unwrapped model would fail, or worse, score random weights).
+    """
+    from flax import nnx
+
+    from diffulab_tpu.training.trainer import _TrainModules
+
+    lora_rank = trainer_cfg.get("lora_rank")
+    if lora_rank:
+        from diffulab_tpu.training.lora import apply_lora
+
+        base_ckpt = trainer_cfg.get("lora_from")
+        if base_ckpt:
+            restore_train_modules(base_ckpt, _TrainModules(denoiser, []))
+        elif Path(ckpt_path).name == "ema" or Path(ckpt_path).name.startswith("phema"):
+            raise SystemExit(
+                f"{ckpt_path} points at a LoRA run's params-only dir "
+                "(ema / phema_sr*), which stores only adapter params; set "
+                "trainer.lora_from so the base weights can be restored "
+                "(evaluating without them would score a random model)."
+            )
+        apply_lora(denoiser, int(lora_rank), rngs=nnx.Rngs(seed + 1),
+                   variant=trainer_cfg.get("lora_variant", "lora"))
+    restore_train_modules(
+        ckpt_path, _TrainModules(denoiser, extra_losses), lora=bool(lora_rank)
+    )

@@ -65,14 +65,9 @@ class _TrainModules(nnx.Module):
     trainable parameters (the reference optimizes denoiser + RepaLoss
     projection jointly, examples/train_repa.py:73-78)."""
 
-    def __init__(self, denoiser: Any, extra_losses: list[Any],
-                 distill_teacher: Any = None):
+    def __init__(self, denoiser: Any, extra_losses: list[Any]):
         self.denoiser = denoiser
         self.extra_losses = nnx.List(extra_losses)
-        # frozen guidance-distillation teacher: excluded from the trainable
-        # split (checkpoint.py::trainable_filter) so the optimizer never
-        # touches it (weight decay would otherwise erode a "zero-grad" copy)
-        self.distill_teacher = nnx.data(distill_teacher)
 
 
 class Trainer:
@@ -271,6 +266,7 @@ class BaseTrainer(Trainer):
         rest_template,
         optimizer: optax.GradientTransformation,
         p_cfg: float,
+        distill_teacher: Any = None,
     ):
         diffusion = diffuser.diffusion
         use_ema = self.use_ema
@@ -278,10 +274,18 @@ class BaseTrainer(Trainer):
         capture = len(diffuser.extra_losses) > 0
         distill_guidance = self.distill_guidance
 
-        def _distill_kwargs(modules, w):
-            teacher = getattr(modules, "distill_teacher", None)
-            if teacher is None:
+        # frozen guidance-distillation teacher: NOT part of _TrainModules —
+        # it rides as an explicit (non-donated) step argument so checkpoints
+        # keep the teacher-free layout restore_train_modules expects and
+        # best-val saves never d2h a second full model copy
+        teacher_graphdef = None
+        if distill_teacher is not None:
+            teacher_graphdef, _ = nnx.split(distill_teacher)
+
+        def _distill_kwargs(teacher_state, w):
+            if teacher_graphdef is None:
                 return {}
+            teacher = nnx.merge(teacher_graphdef, teacher_state)
 
             def teacher_fn(**kw):
                 return teacher(**kw, train=False)
@@ -306,7 +310,7 @@ class BaseTrainer(Trainer):
                 "(the non-leaky conditioning path, diffuse/augment.py)"
             )
 
-        def loss_fn(params, rng_state, rest, batch, rng):
+        def loss_fn(params, rng_state, rest, batch, rng, teacher_state):
             modules = nnx.merge(graphdef, params, rng_state, rest)
             model_inputs = dict(batch["model_inputs"])
             x0 = jnp.asarray(model_inputs.pop("x"))
@@ -317,6 +321,12 @@ class BaseTrainer(Trainer):
             cond = model_inputs
             bsz = x0.shape[0]
             if augment_pipe is not None:
+                assert coupled_noise is None, (
+                    "trainer.augment_p > 0 would scramble a reflow dataset's "
+                    "deterministic (noise, data) coupling: the flip/rotate/"
+                    "translate of x0 cannot be applied to its paired z. "
+                    "Disable augmentation for straightening runs."
+                )
                 rng, a_rng = jax.random.split(rng)
                 x0, aug_labels = augment_pipe(a_rng, x0)
                 cond = {**cond, "augment_labels": aug_labels}
@@ -342,7 +352,7 @@ class BaseTrainer(Trainer):
                 model_fn, x0, cond, timesteps, noise, drop=drop,
                 extra_losses=list(modules.extra_losses),
                 extra_args=batch.get("extra") or {},
-                **_distill_kwargs(modules, distill_guidance),
+                **_distill_kwargs(teacher_state, distill_guidance),
             )
             total = sum(losses.values())
             return total, losses
@@ -350,10 +360,11 @@ class BaseTrainer(Trainer):
         phema_gammas = self.posthoc_ema_gammas if self.posthoc_ema else ()
 
         @partial(jax.jit, donate_argnums=(0, 3, 4, 5))
-        def train_step(params, rng_state, rest, opt_state, ema_params, phema_params, batch, rng, step):
+        def train_step(params, rng_state, rest, opt_state, ema_params, phema_params, batch, rng, step,
+                       teacher_state=None):
             rng_state = _fold_rng_state(rng_state, step)
             grads_fn = jax.value_and_grad(loss_fn, has_aux=True)
-            (_, losses), grads = grads_fn(params, rng_state, rest, batch, rng)
+            (_, losses), grads = grads_fn(params, rng_state, rest, batch, rng, teacher_state)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             if use_ema:
@@ -365,7 +376,7 @@ class BaseTrainer(Trainer):
                 )
             return params, opt_state, ema_params, phema_params, losses
 
-        def eval_loss_fn(params, rng_state, rest, batch, rng):
+        def eval_loss_fn(params, rng_state, rest, batch, rng, teacher_state=None):
             modules = nnx.merge(graphdef, params, rng_state, rest)
             model_inputs = dict(batch["model_inputs"])
             x0 = jnp.asarray(model_inputs.pop("x"))
@@ -386,7 +397,7 @@ class BaseTrainer(Trainer):
                 model_fn, x0, cond, timesteps, noise,
                 extra_losses=list(modules.extra_losses),
                 extra_args=batch.get("extra") or {},
-                **_distill_kwargs(modules, distill_guidance),
+                **_distill_kwargs(teacher_state, distill_guidance),
             )
 
         eval_step = jax.jit(eval_loss_fn)
@@ -570,8 +581,7 @@ class BaseTrainer(Trainer):
             optimizer = optax.MultiSteps(optimizer, every_k_schedule=self.gradient_accumulation_step)
 
         # --- split modules into trainable params / the rest ---------------
-        modules = _TrainModules(diffuser.denoiser, diffuser.extra_losses,
-                                distill_teacher=distill_teacher)
+        modules = _TrainModules(diffuser.denoiser, diffuser.extra_losses)
         # adapter-only runs: base weights ride frozen in `rest`; otherwise
         # Params minus frozen submodules (context_embedder / repa_encoder) —
         # see checkpoint.py::trainable_filter (the checkpoint layout)
@@ -628,8 +638,17 @@ class BaseTrainer(Trainer):
         if self.posthoc_ema:
             phema_params = self._init_phema(params, param_sh, phema_base, step)
 
+        teacher_state = None
+        if distill_teacher is not None:
+            # frozen teacher weights ride as a replicated, NON-donated step
+            # argument (never in _TrainModules: the checkpoint layout stays
+            # teacher-free and best-val saves skip the second model copy)
+            _, teacher_state = nnx.split(distill_teacher)
+            teacher_state = jax.device_put(teacher_state, replicated(self.mesh))
+
         train_step, eval_step = self._build_step_fns(
-            diffuser, graphdef, rest, optimizer, p_classifier_free_guidance
+            diffuser, graphdef, rest, optimizer, p_classifier_free_guidance,
+            distill_teacher=distill_teacher,
         )
 
         best_val_loss = resume_best_val
@@ -650,7 +669,8 @@ class BaseTrainer(Trainer):
                 step += 1
                 step_rng = jax.random.fold_in(rng, step)
                 params, opt_state, ema_params, phema_params, losses = train_step(
-                    params, rng_state, rest, opt_state, ema_params, phema_params, batch, step_rng, step
+                    params, rng_state, rest, opt_state, ema_params, phema_params, batch, step_rng, step,
+                    teacher_state,
                 )
                 n_steps_epoch += 1
                 for key, loss in losses.items():
@@ -690,7 +710,7 @@ class BaseTrainer(Trainer):
                 n_val = 0
                 for vi, val_batch in enumerate(val_dataloader):
                     val_batch = self._prepare_batch(self._host_embed(val_batch, diffuser))
-                    val_losses = eval_step(eval_params, rng_state, rest, val_batch, jax.random.fold_in(rng, 1_000_000 + vi))
+                    val_losses = eval_step(eval_params, rng_state, rest, val_batch, jax.random.fold_in(rng, 1_000_000 + vi), teacher_state)
                     n_val += 1
                     for key, val_loss in val_losses.items():
                         prev = val_sums.get(key)

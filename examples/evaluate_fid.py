@@ -31,7 +31,10 @@ from flax import nnx
 from diffulab_tpu.config import compose_config, instantiate
 from diffulab_tpu.diffuse import Diffuser
 from diffulab_tpu.networks.repa.vit import ViTEncoder
-from diffulab_tpu.training.checkpoint import restore_train_modules
+from diffulab_tpu.training.checkpoint import (
+    restore_sampling_model,
+    restore_train_modules,
+)
 from diffulab_tpu.training.trainer import _TrainModules
 from diffulab_tpu.training.evaluation import (
     compute_fid,
@@ -160,11 +163,10 @@ def main() -> None:
     if args.guide_ckpt:
         assert args.guidance > 0, "--guide-ckpt requires --guidance > 0"
         guide_denoiser = instantiate(cfg["model"], rngs=nnx.Rngs(args.seed))
-        restore_train_modules(
-            args.guide_ckpt,
-            _TrainModules(guide_denoiser, build_extra_losses(cfg, seed=args.seed)),
-            lora=bool(lora_rank),
-        )
+        # replicates the LoRA wrap order for adapter-layout guide checkpoints
+        restore_sampling_model(args.guide_ckpt, guide_denoiser,
+                               build_extra_losses(cfg, seed=args.seed),
+                               cfg["trainer"], seed=args.seed + 100)
         print(f"autoguidance: negative branch from {args.guide_ckpt}")
 
     feature_fn = frozen_vit_features(image_size=real_val.shape[1])

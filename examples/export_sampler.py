@@ -28,9 +28,8 @@ from diffulab_tpu.config.compose import compose_config
 from diffulab_tpu.config.instantiate import instantiate
 from diffulab_tpu.deploy import DeployedSampler, export_generate
 from diffulab_tpu.diffuse.diffuser import Diffuser
-from diffulab_tpu.training.checkpoint import restore_train_modules
+from diffulab_tpu.training.checkpoint import restore_sampling_model
 from diffulab_tpu.training.losses.build import build_extra_losses
-from diffulab_tpu.training.trainer import _TrainModules
 
 CONFIG_DIR = Path(__file__).parent.parent / "configs"
 
@@ -75,20 +74,9 @@ def main() -> None:
         diffuser.set_steps(args.steps)
 
     # checkpoints store the trainer's _TrainModules split (denoiser + extra
-    # losses; adapters only for LoRA runs) — mirror sample.py's restore exactly
-    lora_rank = cfg["trainer"].get("lora_rank")
-    if lora_rank:
-        from diffulab_tpu.training.lora import apply_lora
-
-        base_ckpt = cfg["trainer"].get("lora_from")
-        if base_ckpt:
-            restore_train_modules(base_ckpt, _TrainModules(denoiser, []))
-        elif Path(args.ckpt).name == "ema":
-            raise SystemExit("LoRA ema checkpoints need trainer.lora_from for base weights")
-        apply_lora(denoiser, int(lora_rank), rngs=nnx.Rngs(args.seed + 1),
-                   variant=cfg["trainer"].get("lora_variant", "lora"))
-    restore_train_modules(args.ckpt, _TrainModules(denoiser, diffuser.extra_losses),
-                          lora=bool(lora_rank))
+    # losses); LoRA runs replicate the training wrap order inside the helper
+    restore_sampling_model(args.ckpt, denoiser, diffuser.extra_losses,
+                           cfg["trainer"], seed=args.seed)
     print(f"restored {args.ckpt}")
 
     size = args.image_size or ds_cfg.get("image_size", 32)

@@ -29,9 +29,8 @@ from flax import nnx
 
 from diffulab_tpu.config import compose_config, instantiate
 from diffulab_tpu.diffuse import Diffuser
-from diffulab_tpu.training.checkpoint import restore_train_modules
+from diffulab_tpu.training.checkpoint import restore_sampling_model
 from diffulab_tpu.training.logging import make_grid
-from diffulab_tpu.training.trainer import _TrainModules
 
 CONFIG_DIR = Path(__file__).parent.parent / "configs"
 
@@ -108,29 +107,19 @@ def main() -> None:
         assert args.cache_span is not None, "--cache-interval needs --cache-span LO HI"
         diffuser.set_block_cache(args.cache_interval, tuple(args.cache_span))
 
-    lora_rank = cfg["trainer"].get("lora_rank")
-    if lora_rank:
-        from diffulab_tpu.training.lora import apply_lora
-
-        base_ckpt = cfg["trainer"].get("lora_from")
-        if base_ckpt:
-            restore_train_modules(base_ckpt, _TrainModules(denoiser, []))
-        elif Path(args.ckpt).name == "ema":
-            raise SystemExit("LoRA ema checkpoints need trainer.lora_from for base weights")
-        apply_lora(denoiser, int(lora_rank), rngs=nnx.Rngs(args.seed + 1),
-                   variant=cfg["trainer"].get("lora_variant", "lora"))
-    restore_train_modules(args.ckpt, _TrainModules(denoiser, diffuser.extra_losses), lora=bool(lora_rank))
+    # LoRA runs replicate the training wrap order (base restore -> wrap ->
+    # adapter restore) inside the helper
+    restore_sampling_model(args.ckpt, denoiser, diffuser.extra_losses,
+                           cfg["trainer"], seed=args.seed)
     print(f"restored {args.ckpt}")
 
     guide_denoiser = None
     if args.guide_ckpt:
         assert args.guidance > 0, "--guide-ckpt requires --guidance > 0"
         guide_denoiser = instantiate(cfg["model"], rngs=nnx.Rngs(args.seed), **model_kwargs)
-        restore_train_modules(
-            args.guide_ckpt,
-            _TrainModules(guide_denoiser, build_extra_losses(cfg, seed=args.seed)),
-            lora=bool(lora_rank),
-        )
+        restore_sampling_model(args.guide_ckpt, guide_denoiser,
+                               build_extra_losses(cfg, seed=args.seed),
+                               cfg["trainer"], seed=args.seed + 100)
         print(f"autoguidance: negative branch from {args.guide_ckpt}")
 
     size = args.image_size or ds_cfg.get("image_size", 32)

@@ -320,3 +320,34 @@ def test_unet_ddpm_generate_with_cache():
                                guidance_scale=1.5)
     assert np.isfinite(np.asarray(cached["x"])).all()
     assert float(jnp.abs(cached["x"] - base["x"]).max()) > 1e-7
+
+
+# --- composition with autoguidance (each model carries its own cache) --------
+
+@pytest.mark.parametrize("model_type,method,steps", [
+    ("rectified_flow", "euler", 6),
+    ("gaussian_diffusion", "ddim", 50),
+    ("edm", "dpmpp_2m", 6),
+])
+def test_block_cache_composes_with_autoguidance(model_type, method, steps):
+    """Autoguidance calls the main model at batch B (not the fused 2x CFG
+    batch) and the guide model gets its own cache in the (main, guide) pair
+    (diffuse/caching.py) — this traced crash-free end-to-end is the
+    regression test for the 2x-batched-cache shape mismatch."""
+    main = _randomize(_simple_dit())
+    guide = _simple_dit()  # different weights = a genuinely degraded sibling
+    diffuser = Diffuser(main, model_type=model_type, n_steps=steps,
+                        sampling_method=method)
+    diffuser.set_block_cache(2, span=(1, 3))
+    cond = {"y": jnp.array([1, 2])}
+
+    cached = diffuser.generate(jax.random.key(3), cond, data_shape=SHAPE,
+                               guidance_scale=2.0, guide_denoiser=guide)
+    assert np.isfinite(np.asarray(cached["x"])).all()
+
+    # interval=1... disabling restores the uncached autoguidance path, and
+    # caching actually changed the trajectory (the spans were skipped)
+    diffuser.set_block_cache(None)
+    plain = diffuser.generate(jax.random.key(3), cond, data_shape=SHAPE,
+                              guidance_scale=2.0, guide_denoiser=guide)
+    assert not np.allclose(np.asarray(cached["x"]), np.asarray(plain["x"]))

@@ -174,8 +174,18 @@ def test_distill_training_freezes_teacher_and_learns(tmp_path):
     assert len(train_losses) == 3
     assert train_losses[-1] < train_losses[0], f"distill loss did not decrease: {train_losses}"
 
-    # the saved checkpoint is the student split only (no teacher leaves)
-    assert (tmp_path / "distill" / "checkpoints" / "denoiser").exists()
+    # the saved checkpoint is the student split only (no teacher leaves):
+    # it must restore through restore_train_modules into a teacher-free
+    # bundle, exactly like every non-distill run's checkpoint
+    from diffulab_tpu.training.checkpoint import restore_train_modules
+    from diffulab_tpu.training.trainer import _TrainModules
+
+    ckpt = tmp_path / "distill" / "checkpoints" / "denoiser"
+    assert ckpt.exists()
+    fresh = _tiny_model(0)
+    restore_train_modules(ckpt, _TrainModules(fresh, []))
+    restored = jax.tree.map(np.asarray, nnx.split(fresh, nnx.Param, ...)[1])
+    jax.tree.map(np.testing.assert_array_equal, student_params_after, restored)
 
 
 def test_distill_requires_guidance():
