@@ -11,6 +11,11 @@ hardware available to it in this container (torch 2.13 CPU, measured
 2026-08-16 at batch 8 with warm autograd: 0.430 samples/s; this framework on
 the same CPU via XLA: 0.159 samples/s — CPU is not the deployment path for
 either).
+
+Timing doctrine (BASELINE.md "Measured perf facts"): single-run timings on
+the relay chip swing +-40%, so every metric is measured as the MIN over
+N_ROUNDS interleaved rounds in one process — each round times every metric
+once, so drift hits all metrics equally and the min rejects relay spikes.
 """
 
 from __future__ import annotations
@@ -30,6 +35,8 @@ BATCH = 64
 LATENT = (32, 32, 4)  # ImageNet-256 with f8 VAE / DC-AE-ish latent grid
 SAMPLE_BATCH = 16
 SAMPLE_STEPS = 50
+N_ROUNDS = 6
+TRAIN_BURST = 10  # chained steps per timed burst (params of step i feed i+1)
 
 
 def build():
@@ -43,7 +50,8 @@ def build():
     return model, diffuser
 
 
-def bench_train(model, diffuser, n_iters=30):
+def make_train_burst(model, diffuser):
+    """Returns burst() -> seconds per step, timing TRAIN_BURST chained steps."""
     diffusion = diffuser.diffusion
     optimizer = optax.adamw(1e-4)
     graphdef, params, rest = nnx.split(model, nnx.Param, ...)
@@ -68,19 +76,28 @@ def bench_train(model, diffuser, n_iters=30):
         updates, opt_state = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    state = {"params": params, "opt": opt_state}
     rng = jax.random.key(0)
-    params, opt_state, loss = train_step(params, opt_state, rng)  # compile
-    float(loss)  # host transfer: guarantees real completion through the relay
-    t0 = time.perf_counter()
-    for i in range(n_iters):
-        params, opt_state, loss = train_step(params, opt_state, jax.random.fold_in(rng, i))
-    float(loss)  # step i depends on step i-1's params -> the chain is sequential
-    dt = (time.perf_counter() - t0) / n_iters
-    return BATCH / dt, dt
+
+    def burst(i0: int) -> float:
+        t0 = time.perf_counter()
+        p, o = state["params"], state["opt"]
+        for i in range(TRAIN_BURST):
+            p, o, loss = train_step(p, o, jax.random.fold_in(rng, i0 + i))
+        float(loss)  # host transfer: guarantees real completion through the relay
+        dt = (time.perf_counter() - t0) / TRAIN_BURST
+        state["params"], state["opt"] = p, o
+        return dt
+
+    # compile + settle
+    p, o, loss = train_step(state["params"], state["opt"], rng)
+    float(loss)
+    state["params"], state["opt"] = p, o
+    return burst
 
 
-def bench_sample(model, diffuser, n_iters=5):
-    # the LIBRARY path: Diffuser.generate jits + caches the whole reverse scan
+def make_sampler(diffuser):
+    """Returns run(i) -> seconds per batch through the library Diffuser.generate."""
     y = jnp.zeros((SAMPLE_BATCH,), jnp.int32)
 
     def sample(rng):
@@ -90,29 +107,48 @@ def bench_sample(model, diffuser, n_iters=5):
         )["x"]
 
     float(sample(jax.random.key(0)).sum())  # compile + complete
-    t0 = time.perf_counter()
-    acc = 0.0
-    for i in range(n_iters):
-        acc += float(sample(jax.random.key(i)).sum())  # forced completion per call
-    dt = (time.perf_counter() - t0) / n_iters
-    return SAMPLE_BATCH / dt, dt
+
+    def run(i: int) -> float:
+        t0 = time.perf_counter()
+        float(sample(jax.random.key(i)).sum())  # forced completion per call
+        return time.perf_counter() - t0
+
+    return run
 
 
 def main():
     model, diffuser = build()
-    train_sps, train_dt = bench_train(model, diffuser)
-    sample_ips, sample_dt = bench_sample(model, diffuser)
     # few-step sampling: DPM-Solver++(2M) at 15 steps (docs/samplers.md)
     fast_diffuser = Diffuser(
         model, sampling_method="dpmpp_2m", model_type="rectified_flow",
         n_steps=15, extra_args={"logits_normal": True},
     )
-    fast_ips, fast_dt = bench_sample(model, fast_diffuser)
     # Delta-DiT block caching (docs/samplers.md): Euler-50 with the middle
-    # 8 of 12 blocks cached and refreshed every 2nd step (~1/3 FLOPs saved)
-    diffuser.set_block_cache(2, span=(2, 10))
-    cached_ips, cached_dt = bench_sample(model, diffuser)
-    diffuser.set_block_cache(None)
+    # 8 of 12 blocks cached and refreshed every 2nd step (~1/3 FLOPs saved).
+    # The span is set on the shared denoiser BEFORE any compile: the plain
+    # diffusers never thread a cache, so their traced program is unaffected
+    # (mmdit.py gates on `cache_span is not None AND block_cache is not None`)
+    # and no recompiles happen between interleaved rounds.
+    cached_diffuser = Diffuser(
+        model, sampling_method="euler", model_type="rectified_flow",
+        n_steps=SAMPLE_STEPS, extra_args={"logits_normal": True},
+    )
+    cached_diffuser.set_block_cache(2, span=(2, 10))
+
+    train_burst = make_train_burst(model, diffuser)
+    euler50 = make_sampler(diffuser)
+    dpmpp15 = make_sampler(fast_diffuser)
+    euler50_cached = make_sampler(cached_diffuser)
+
+    mins = {"train": float("inf"), "euler50": float("inf"),
+            "dpmpp15": float("inf"), "cached": float("inf")}
+    for r in range(N_ROUNDS):
+        mins["train"] = min(mins["train"], train_burst(r * TRAIN_BURST))
+        mins["euler50"] = min(mins["euler50"], euler50(r))
+        mins["dpmpp15"] = min(mins["dpmpp15"], dpmpp15(r))
+        mins["cached"] = min(mins["cached"], euler50_cached(r))
+
+    train_sps = BATCH / mins["train"]
     reference_cpu_sps = 0.430  # measured: reference DiT-B/2 train step, torch CPU (see module docstring)
     print(json.dumps({
         "metric": "dit_b2_train_samples_per_sec_per_chip",
@@ -121,14 +157,15 @@ def main():
         "vs_baseline": round(train_sps / reference_cpu_sps, 1),
         "extras": {
             "baseline_note": "reference torch-CPU DiT-B/2 0.430 samples/s (no TPU backend exists for the reference); same-CPU XLA runs 0.159",
-            "train_step_ms": round(train_dt * 1e3, 2),
+            "timing": f"interleaved min of {N_ROUNDS} rounds (train bursts of {TRAIN_BURST} chained steps)",
+            "train_step_ms": round(mins["train"] * 1e3, 2),
             "train_batch": BATCH,
-            "euler50_imgs_per_sec": round(sample_ips, 2),
-            "euler50_batch_time_ms": round(sample_dt * 1e3, 2),
-            "dpmpp15_imgs_per_sec": round(fast_ips, 2),
-            "dpmpp15_batch_time_ms": round(fast_dt * 1e3, 2),
-            "euler50_blockcache2_imgs_per_sec": round(cached_ips, 2),
-            "euler50_blockcache2_batch_time_ms": round(cached_dt * 1e3, 2),
+            "euler50_imgs_per_sec": round(SAMPLE_BATCH / mins["euler50"], 2),
+            "euler50_batch_time_ms": round(mins["euler50"] * 1e3, 2),
+            "dpmpp15_imgs_per_sec": round(SAMPLE_BATCH / mins["dpmpp15"], 2),
+            "dpmpp15_batch_time_ms": round(mins["dpmpp15"] * 1e3, 2),
+            "euler50_blockcache2_imgs_per_sec": round(SAMPLE_BATCH / mins["cached"], 2),
+            "euler50_blockcache2_batch_time_ms": round(mins["cached"] * 1e3, 2),
             "sample_batch": SAMPLE_BATCH,
             "device": str(jax.devices()[0]),
             "model": "DiT-B/2 class-cond, 32x32x4 latents, bf16, CFG-fused sampling",

@@ -38,10 +38,35 @@ def main() -> None:
     parser.add_argument("--config-name", default="train_mnist_flow_matching")
     parser.add_argument("--config-dir", default=str(CONFIG_DIR))
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--sweep", action="store_true",
+                        help="hydra-multirun-style sweep: overrides with "
+                             "top-level commas (trainer.ema_rate=0.99,0.999) "
+                             "become choice axes; runs the cartesian product "
+                             "sequentially, one templated run dir per combo")
     parser.add_argument("overrides", nargs="*", help="dotlist overrides key=value")
     args = parser.parse_args()
 
+    if args.sweep:
+        from diffulab_tpu.config.sweep import expand_sweep, tag_to_dirname
+
+        runs = expand_sweep(args.overrides)
+        print(f"sweep: {len(runs)} runs")
+        for i, (concrete, tag) in enumerate(runs):
+            cfg = compose_config(args.config_dir, args.config_name, concrete)
+            if tag:
+                cfg["trainer"]["project_name"] = (
+                    f"{cfg['trainer'].get('project_name', 'diffulab')}/{tag_to_dirname(tag)}"
+                )
+            print(f"=== sweep run {i + 1}/{len(runs)}: {tag or '(single)'} -> "
+                  f"{cfg['trainer'].get('project_name')}")
+            run_one(cfg, args.seed)
+        return
+
     cfg = compose_config(args.config_dir, args.config_name, args.overrides)
+    run_one(cfg, args.seed)
+
+
+def run_one(cfg: dict, seed: int) -> None:
     print(yaml.safe_dump(cfg, sort_keys=False))
 
     train_dataset = instantiate(cfg["dataset"]["train"])
@@ -53,7 +78,7 @@ def main() -> None:
         batch_size=dl_cfg.get("batch_size", 32),
         shuffle=dl_cfg.get("shuffle", True),
         prefetch=dl_cfg.get("prefetch", 2),
-        seed=args.seed,
+        seed=seed,
     )
     val_loader = DataLoader(
         val_dataset,
@@ -62,7 +87,7 @@ def main() -> None:
         prefetch=dl_cfg.get("prefetch", 2),
     )
 
-    denoiser = instantiate(cfg["model"], rngs=nnx.Rngs(args.seed),
+    denoiser = instantiate(cfg["model"], rngs=nnx.Rngs(seed),
                            **model_dtype_kwargs(cfg["trainer"]))
 
     # LoRA finetuning (trainer.lora_rank + optional trainer.lora_from base
@@ -79,7 +104,7 @@ def main() -> None:
             restore_train_modules(base_ckpt, _TrainModules(denoiser, []))
             print(f"restored LoRA base weights from {base_ckpt}")
         variant = cfg["trainer"].get("lora_variant", "lora")
-        n_adapters = apply_lora(denoiser, int(lora_rank), rngs=nnx.Rngs(args.seed + 1),
+        n_adapters = apply_lora(denoiser, int(lora_rank), rngs=nnx.Rngs(seed + 1),
                                 variant=variant)
         print(f"{variant.upper()}: wrapped {n_adapters} projections at rank {lora_rank} "
               f"({count_lora_params(denoiser):,} adapter params)")
@@ -93,7 +118,7 @@ def main() -> None:
         from diffulab_tpu.training.checkpoint import restore_train_modules
         from diffulab_tpu.training.trainer import _TrainModules
 
-        distill_teacher = instantiate(cfg["model"], rngs=nnx.Rngs(args.seed + 2),
+        distill_teacher = instantiate(cfg["model"], rngs=nnx.Rngs(seed + 2),
                                       **model_dtype_kwargs(cfg["trainer"]))
         restore_train_modules(distill_from, _TrainModules(distill_teacher, []))
         print(f"distillation teacher restored from {distill_from}")
@@ -108,7 +133,7 @@ def main() -> None:
     # forward x0 to it automatically, so no dataset change is needed
     from diffulab_tpu.training.losses.build import build_extra_losses
 
-    extra_losses = build_extra_losses(cfg, seed=args.seed)
+    extra_losses = build_extra_losses(cfg, seed=seed)
 
     diffuser = Diffuser(
         denoiser=denoiser,
@@ -167,7 +192,7 @@ def main() -> None:
         ema_ckpt=trainer_cfg.get("ema_ckpt"),
         epoch_start=trainer_cfg.get("epoch_start", 0),
         auto_resume=trainer_cfg.get("auto_resume", False),
-        seed=args.seed,
+        seed=seed,
         lora_only=bool(trainer_cfg.get("lora_rank")),
         distill_teacher=distill_teacher,
     )
