@@ -95,6 +95,7 @@ class Trainer:
         posthoc_ema: bool = False,
         posthoc_ema_gammas: tuple[float, ...] = DEFAULT_GAMMAS,
         save_every_n_epochs: int | None = None,
+        save_optimizer: bool = True,
         augment_p: float = 0.0,
         distill_guidance: float = 0.0,
     ):
@@ -129,6 +130,10 @@ class Trainer:
         # production story — the reference has only manual resume flags
         # (base_trainer.py:264-286).
         self.save_every_n_epochs = save_every_n_epochs
+        # best-val saves include the optimizer moments (2x the param bytes)
+        # only when a resume is intended; sweep/ablation arms turn this off
+        # because d2h transfers dominate epoch wall-clock on a relayed chip
+        self.save_optimizer = save_optimizer
         # EDM-style non-leaky augmentation (diffuse/augment.py): applied in
         # the train loss only, with the transform labels fed to the model via
         # cond["augment_labels"]; requires the model's augment_dim > 0
@@ -157,8 +162,12 @@ class Trainer:
         base = self.save_path / "checkpoints"
         entries: dict[Any, dict[str, Any]] = {
             base / "denoiser": {"params": params, "rest": rest},
-            base / "optimizer": {"opt_state": opt_state},
         }
+        # ablation/sweep runs that will never resume can skip the optimizer
+        # moments — 2x the param bytes, and device->host transfers dominate
+        # epoch wall-clock on a relayed chip (BASELINE.md round 2)
+        if self.save_optimizer:
+            entries[base / "optimizer"] = {"opt_state": opt_state}
         if ema_params is not None:
             entries[base / "ema"] = {"params": ema_params}
         entries[base / "scheduler"] = {"step": step}

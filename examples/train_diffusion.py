@@ -168,6 +168,7 @@ def run_one(cfg: dict, seed: int) -> None:
         posthoc_ema=trainer_cfg.get("posthoc_ema", False),
         posthoc_ema_gammas=tuple(trainer_cfg.get("posthoc_ema_gammas", (6.94, 16.97))),
         save_every_n_epochs=trainer_cfg.get("save_every_n_epochs"),
+        save_optimizer=trainer_cfg.get("save_optimizer", True),
         augment_p=trainer_cfg.get("augment_p", 0.0),
         distill_guidance=trainer_cfg.get("distill_guidance", 0.0),
     )

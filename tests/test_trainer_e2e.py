@@ -220,3 +220,24 @@ def test_auto_resume_from_latest_checkpoint(tmp_path):
         for a, b in zip(jax.tree.leaves(tree_a), jax.tree.leaves(tree_b)):
             np.testing.assert_allclose(np.asarray(a, np.float32), np.asarray(b, np.float32),
                                        rtol=2e-3, atol=2e-3)
+
+
+def test_save_optimizer_false_skips_moments(tmp_path):
+    """Ablation-arm mode: best-val checkpoints omit the optimizer dir (2x the
+    param bytes) while denoiser/ema/scheduler still land."""
+    diffuser = _tiny_diffuser()
+    train_dl = DataLoader(SyntheticDataset(n=32), batch_size=16, shuffle=True, prefetch=0)
+    val_dl = DataLoader(SyntheticDataset(n=16, seed=1), batch_size=16, shuffle=False, prefetch=0)
+
+    trainer = BaseTrainer(
+        n_epoch=1, save_path=tmp_path, project_name="noopt", use_ema=True,
+        ema_update_after_step=0, ema_update_every=1, save_optimizer=False,
+    )
+    trainer.train(diffuser, adamw(lr=1e-3), train_dl, val_dl,
+                  p_classifier_free_guidance=0.1, val_steps=2,
+                  log_validation_images=False, seed=0)
+    base = tmp_path / "noopt" / "checkpoints"
+    assert (base / "denoiser").exists()
+    assert (base / "ema").exists()
+    assert (base / "scheduler").exists()
+    assert not (base / "optimizer").exists()
