@@ -447,7 +447,23 @@ class Flow:
             diff = (step["x_prev_mean"] - old_mean) ** 2
             kl_loss = (flatten_nonbatch_mean(diff) / (2.0 * step["x_prev_std"].reshape(()) ** 2)).mean()
 
-            return carry + policy_loss + kl_beta * kl_loss, None
+            # stiffness diagnostics (logged, not differentiated): how much of
+            # the policy-gradient signal the clip range removes. clip_frac is
+            # the fraction of per-step ratios outside [1-eps, 1+eps];
+            # ratio_dev is mean |ratio - 1| — together they say whether a
+            # flat reward curve means "no signal" or "signal clipped away"
+            clip_frac = (jnp.abs(prob_ratios - 1.0) > eps).mean()
+            ratio_dev = jnp.abs(prob_ratios - 1.0).mean()
 
-        total, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), indices)
-        return {"loss": total / k}
+            carry = (carry[0] + policy_loss + kl_beta * kl_loss,
+                     carry[1] + clip_frac, carry[2] + ratio_dev)
+            return carry, None
+
+        (total, clip_frac, ratio_dev), _ = jax.lax.scan(
+            body, (jnp.zeros((), jnp.float32),) * 3, indices
+        )
+        return {
+            "loss": total / k,
+            "clip_frac": jax.lax.stop_gradient(clip_frac / k),
+            "ratio_dev": jax.lax.stop_gradient(ratio_dev / k),
+        }
