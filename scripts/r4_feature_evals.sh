@@ -1,0 +1,49 @@
+#!/bin/bash
+# Round-4 feature-surface A/B campaign, part A: sampling-time features
+# measured against the clean re-baselined checkpoints (BASELINE.md round 4).
+# Controls: flow phema_sr0.05 Euler-50 CFG1.5 = FID 1.01; EDM phema_sr0.05
+# Heun-18 CFG1.5 = FID 0.82. All evals 2000 samples / batch 200 so numbers
+# are directly comparable with the baseline tables.
+set -x
+cd /root/repo
+
+F=runs/flow_fp32_r4/checkpoints/phema_sr0.05
+E=runs/edm_fp32_r3/checkpoints/phema_sr0.05
+FLOW=(--config-name train_synthetic_flow_matching --n-samples 2000 --batch-size 200)
+EDM=(--config-name train_synthetic_edm --n-samples 2000 --batch-size 200)
+
+# 1. few-step sampler shootout on flow: UniPC vs DPM++(2M) vs Euler at 5/10
+for steps in 5 10; do
+  for m in euler dpmpp_2m unipc; do
+    python examples/evaluate_fid.py "${FLOW[@]}" --ckpt "$F" \
+      --steps $steps --guidance 1.5 diffuser.sampling_method=$m
+  done
+done
+
+# 2. block caching at the BENCH setting (interval 2, span blocks 2-10),
+#    Euler-50: the 1.45x-throughput config's quality cost vs control 1.01
+python examples/evaluate_fid.py "${FLOW[@]}" --ckpt "$F" \
+  --guidance 1.5 --cache-interval 2 --cache-span 2 10
+
+# 3. guidance shaping at high CFG (where interval/rescale are claimed to help)
+python examples/evaluate_fid.py "${FLOW[@]}" --ckpt "$F" --guidance 3.0
+python examples/evaluate_fid.py "${FLOW[@]}" --ckpt "$F" --guidance 3.0 \
+  "diffuser.extra_args.guidance_interval=[0.05, 0.75]"
+python examples/evaluate_fid.py "${FLOW[@]}" --ckpt "$F" --guidance 3.0 \
+  diffuser.extra_args.guidance_rescale=0.7
+python examples/evaluate_fid.py "${FLOW[@]}" --ckpt "$F" --guidance 1.5 \
+  "diffuser.extra_args.guidance_interval=[0.05, 0.75]"
+
+# 4. autoguidance: guide the post-hoc-EMA model with the degraded ramped-track
+#    EMA of the SAME run (a shorter-trained version of itself) instead of the
+#    unconditional branch
+python examples/evaluate_fid.py "${FLOW[@]}" --ckpt "$F" --guidance 1.5 \
+  --guide-ckpt runs/flow_fp32_r4/checkpoints/ema
+
+# 5. EDM few-step: UniPC vs DPM++(2M) at 10 steps (control: Heun-18 = 0.82)
+for m in dpmpp_2m unipc; do
+  python examples/evaluate_fid.py "${EDM[@]}" --ckpt "$E" \
+    --steps 10 --guidance 1.5 diffuser.sampling_method=$m
+done
+
+echo "FEATURE EVALS DONE"
