@@ -34,11 +34,13 @@ python examples/evaluate_fid.py "${FLOW[@]}" --ckpt "$F" --guidance 3.0 \
 python examples/evaluate_fid.py "${FLOW[@]}" --ckpt "$F" --guidance 1.5 \
   "diffuser.extra_args.guidance_interval=[0.05, 0.75]"
 
-# 4. autoguidance: guide the post-hoc-EMA model with the degraded ramped-track
-#    EMA of the SAME run (a shorter-trained version of itself) instead of the
-#    unconditional branch
+# 4. autoguidance: guide the post-hoc-EMA model with a degraded sibling — the
+#    SAME run's post-hoc EMA reconstructed at epoch 4 (t_out=312) — instead of
+#    the unconditional branch (Karras et al., arXiv:2406.02507)
 python examples/evaluate_fid.py "${FLOW[@]}" --ckpt "$F" --guidance 1.5 \
-  --guide-ckpt runs/flow_fp32_r4/checkpoints/ema
+  --guide-ckpt runs/flow_fp32_r4/checkpoints/phema_sr0.05_ep4
+python examples/evaluate_fid.py "${FLOW[@]}" --ckpt "$F" --guidance 2.0 \
+  --guide-ckpt runs/flow_fp32_r4/checkpoints/phema_sr0.05_ep4
 
 # 5. EDM few-step: UniPC vs DPM++(2M) at 10 steps (control: Heun-18 = 0.82)
 for m in dpmpp_2m unipc; do
