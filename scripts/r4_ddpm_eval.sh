@@ -9,6 +9,10 @@
 set -x
 cd /root/repo
 
+# quick (~8 min) per-op floor probes first — their data decides whether a
+# fused optimizer kernel is worth building later in the round
+python scripts/mfu_floor_probes.py > /tmp/r4_mfu_probes.log 2>&1
+
 CPU=(env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu)
 
 eval_arm () {

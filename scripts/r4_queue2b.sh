@@ -5,7 +5,6 @@
 set -x
 cd /root/repo
 
-python scripts/mfu_floor_probes.py    > /tmp/r4_mfu_probes.log 2>&1
 bash scripts/r4_feature_trainings.sh  > /tmp/r4_feature_trainings.log 2>&1
 bash scripts/r4_bf16_campaign.sh      > /tmp/r4_bf16_campaign.log 2>&1
 bash scripts/r4_grpo_campaign.sh      > /tmp/r4_grpo_campaign.log 2>&1
