@@ -20,10 +20,12 @@ for steps in 5 10; do
   done
 done
 
-# 2. block caching at the BENCH setting (interval 2, span blocks 2-10),
-#    Euler-50: the 1.45x-throughput config's quality cost vs control 1.01
+# 2. block caching, Euler-50, interval 2 over the middle span — blocks 2-8 of
+#    the depth-10 synthetic DiT (same ~2/3-of-depth middle placement as the
+#    BENCH depth-12 span 2-10): quality cost of the ~1.45x-throughput setting
+#    vs control 1.01
 python examples/evaluate_fid.py "${FLOW[@]}" --ckpt "$F" \
-  --guidance 1.5 --cache-interval 2 --cache-span 2 10
+  --guidance 1.5 --cache-interval 2 --cache-span 2 8
 
 # 3. guidance shaping at high CFG (where interval/rescale are claimed to help)
 python examples/evaluate_fid.py "${FLOW[@]}" --ckpt "$F" --guidance 3.0
