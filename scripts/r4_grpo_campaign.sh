@@ -29,9 +29,6 @@ COMMON=(--config-name train_grpo_alignment --luma-judge
 python examples/train_grpo.py "${COMMON[@]}" optimizer.lr=3e-3 \
   trainer.project_name=luma_lr3e3 > /tmp/r4_grpo_lr3e3.log 2>&1
 
-python examples/train_grpo.py "${COMMON[@]}" optimizer.lr=1e-2 \
-  trainer.project_name=luma_lr1e2 > /tmp/r4_grpo_lr1e2.log 2>&1
-
 # full-chain credit assignment: train on every denoise step, not 60%
 python examples/train_grpo.py "${COMMON[@]}" optimizer.lr=3e-3 \
   grpo.timestep_fraction=1.0 \
