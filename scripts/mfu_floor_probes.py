@@ -18,6 +18,8 @@ Run (chip, cwd=/root/repo, no concurrent TPU process):
 
 from __future__ import annotations
 
+import functools
+import gc
 import json
 import sys
 import time
@@ -34,22 +36,28 @@ from diffulab_tpu.diffuse import Diffuser
 import diffulab_tpu.networks.denoisers.mmdit as mmdit_mod
 from diffulab_tpu.networks.denoisers.mmdit import MMDiT
 
-BATCH = 64
+import os
+
+BATCH = int(os.environ.get("MFU_BATCH", 64))
 LATENT = (32, 32, 4)
-N_ROUNDS = 8
-BURST = 10
+N_ROUNDS = int(os.environ.get("MFU_ROUNDS", 8))
+BURST = int(os.environ.get("MFU_BURST", 10))
+DEPTH = int(os.environ.get("MFU_DEPTH", 12))
 
 
 def build_step(model, diffusion, rope_identity: bool):
     """A jitted chained train step; optionally with RoPE rotation removed."""
     optimizer = optax.adamw(1e-4)
     graphdef, params, rest = nnx.split(model, nnx.Param, ...)
+    # private copy: train_step donates its inputs, and the model's own buffers
+    # must survive for the other probes
+    params = jax.tree.map(jnp.copy, params)
 
     orig = mmdit_mod.apply_rope_ndim_planar
     if rope_identity:
         mmdit_mod.apply_rope_ndim_planar = lambda q, k, cos, sin, rd: (q, k)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, rng):
         def loss_fn(params):
             m = nnx.merge(graphdef, params, rest)
@@ -95,11 +103,12 @@ def build_step(model, diffusion, rope_identity: bool):
 
 def build_opt_probe(params):
     """Isolated adamw + EMA lerp over the DiT param tree."""
+    params = jax.tree.map(jnp.copy, params)  # donation below must not eat the model
     optimizer = optax.adamw(1e-4)
     opt_state = optimizer.init(params)
     grads = jax.tree.map(lambda x: jnp.full_like(x, 1e-4), params)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def opt_step(params, opt_state, ema):
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -129,11 +138,11 @@ def build_opt_probe(params):
 
 
 def build_bw_probe(params):
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def bump(t):
         return jax.tree.map(lambda x: x + 1.0, t)
 
-    t = bump(params)
+    t = bump(jax.tree.map(jnp.copy, params))
     float(jax.tree.leaves(t)[0].sum())
     state = {"t": t}
     n_bytes = sum(x.size * 4 for x in jax.tree.leaves(params)) * 2  # read+write
@@ -154,24 +163,32 @@ def build_bw_probe(params):
 def main():
     model = MMDiT(
         simple_dit=True, input_channels=4, inner_dim=768, embedding_dim=768,
-        num_heads=12, mlp_ratio=4, patch_size=2, depth=12, n_classes=1000,
+        num_heads=12, mlp_ratio=4, patch_size=2, depth=DEPTH, n_classes=1000,
         classifier_free=True, dtype=jnp.bfloat16, rngs=nnx.Rngs(0),
     )
     diffusion = Diffuser(model, sampling_method="euler", model_type="rectified_flow",
                          n_steps=50, extra_args={"logits_normal": True}).diffusion
 
+    mins = {"full": float("inf"), "norope": float("inf"),
+            "opt": float("inf"), "bw": float("inf")}
+
+    # Phase 1: the full-vs-norope A/B (the pair that must interleave). Holding
+    # all four probes' states resident at once OOMed the chip — the
+    # optimizer/bandwidth pair runs as a second phase after teardown.
     step_full, flops_full = build_step(model, diffusion, rope_identity=False)
     step_norope, flops_norope = build_step(model, diffusion, rope_identity=True)
+    for r in range(N_ROUNDS):
+        mins["full"] = min(mins["full"], step_full(r * BURST))
+        mins["norope"] = min(mins["norope"], step_norope(r * BURST))
+    del step_full, step_norope
+    gc.collect()
+
+    # Phase 2: optimizer-vs-bandwidth interleave.
     # param_dtype is fp32 regardless of the bf16 compute dtype — reuse the tree
     _, fp32_params, _ = nnx.split(model, nnx.Param, ...)
     opt_burst, n_params, opt_bytes = build_opt_probe(fp32_params)
     bw_burst, bw_bytes = build_bw_probe(fp32_params)
-
-    mins = {"full": float("inf"), "norope": float("inf"),
-            "opt": float("inf"), "bw": float("inf")}
     for r in range(N_ROUNDS):
-        mins["full"] = min(mins["full"], step_full(r * BURST))
-        mins["norope"] = min(mins["norope"], step_norope(r * BURST))
         mins["opt"] = min(mins["opt"], opt_burst(r))
         mins["bw"] = min(mins["bw"], bw_burst(r))
 
