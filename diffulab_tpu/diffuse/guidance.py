@@ -8,13 +8,17 @@ src/diffulab/diffuse/modelizations/flow.py:256-259):
   conditional prediction (scale 1) outside it. High noise levels get distorted
   by CFG (mode-seeking pushes samples off-manifold early) and the lowest
   levels gain nothing; restricting guidance to a mid interval improves FID at
-  equal compute. The window is expressed in each formalization's own noise
+  equal compute — measured (BASELINE.md round 4, interval [0.05, 0.75] on
+  the flow recipe): FID 1.01 -> 0.745 at CFG 1.5, 2.53 -> 0.94 at CFG 3.0.
+  The window is expressed in each formalization's own noise
   units: flow time ``t`` in (0, 1], EDM ``sigma``, gaussian fraction
   ``t/(T-1)``.
 - **guidance rescale** (Lin et al., arXiv:2305.08891 sec. 3.4): CFG inflates
   the per-sample std of the prediction, which shows up as over-exposure /
   over-saturation at high scales. ``rescale`` in [0, 1] blends toward a
-  variant renormalized to the conditional prediction's std.
+  variant renormalized to the conditional prediction's std. (Measured
+  neutral-to-negative on the 32x32 synthetic recipe — BASELINE.md round 4;
+  it targets high-resolution saturation artifacts.)
 
 Both are static config (compiled into the sampling scan); the interval test
 runs on the traced per-sample noise level, so one compiled program serves the
