@@ -10,8 +10,9 @@ Usage:
         --n 16 --steps 50 --guidance 1.5 --out samples.png
     # class-conditional: repeat each class label
     python examples/sample.py ... --labels 0,1,2,3
-    # few-step override
-    python examples/sample.py ... --sampler dpmpp_2m --steps 10
+    # few-step override (UniPC-10 is the measured few-step winner,
+    # BASELINE.md round-4 shoot-out)
+    python examples/sample.py ... --sampler unipc --steps 10
 """
 
 from __future__ import annotations
