@@ -10,7 +10,11 @@ a measured imgs/s, not a FLOPs argument.
 from __future__ import annotations
 
 import json
+import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,11 @@ only; the remainder vs the round-2 number bounds the conditioning-path cost.
 from __future__ import annotations
 
 import json
+import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
 
 import jax
 import jax.numpy as jnp
