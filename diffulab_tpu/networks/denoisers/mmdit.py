@@ -44,6 +44,7 @@ from diffulab_tpu.networks.nn import (
     get_cos_sin_ndim_grid,
     modulate,
     packed_swiglu,
+    stable_conditioning_scope,
     stable_dtype,
     timestep_embedding,
 )
@@ -438,6 +439,7 @@ class MMDiT(Denoiser):
         capacity_factor: float = 2.0,
         pipeline_microbatches: int | None = None,
         augment_dim: int = 0,
+        stable_conditioning: bool = True,
         attention_dtype: Any = None,
         mlp_dtype: Any = None,
         stream_dtype: Any = None,
@@ -480,94 +482,99 @@ class MMDiT(Denoiser):
         # cached across denoise steps; None = off. Set via
         # Diffuser.set_block_cache -> set_block_cache_span.
         self.cache_span: tuple[int, int] | None = None
-        # mixed precision: the residual token stream is carried at fp32 (None
-        # when dtype is already full precision); each block's matmuls cast
-        # their inputs down to `dtype`, and the branch output promotes back at
-        # the residual add — bf16 MXU throughput with fp32 accumulation, the
-        # torch-autocast semantics the reference trains under. Overridable
-        # (stream_dtype="bfloat16") to carry the stream at the compute dtype —
-        # the fp32 stream's HBM cost vs its quality contribution is measured
-        # separately from the conditioning path (BASELINE.md round 3).
-        self.stream_dtype = stream_dtype if stream_dtype is not None else stable_dtype(dtype)
+        # Every stable_dtype call below (stream default, patchify conv,
+        # time/label embed, modulation, final proj) resolves under this
+        # scope; stable_conditioning=False is the measured round-2-style
+        # whole-model cast (BASELINE.md round 4: +6.5% step throughput).
+        with stable_conditioning_scope(stable_conditioning):
+            # mixed precision: the residual token stream is carried at fp32 (None
+            # when dtype is already full precision); each block's matmuls cast
+            # their inputs down to `dtype`, and the branch output promotes back at
+            # the residual add — bf16 MXU throughput with fp32 accumulation, the
+            # torch-autocast semantics the reference trains under. Overridable
+            # (stream_dtype="bfloat16") to carry the stream at the compute dtype —
+            # the fp32 stream's HBM cost vs its quality contribution is measured
+            # separately from the conditioning path (BASELINE.md round 3).
+            self.stream_dtype = stream_dtype if stream_dtype is not None else stable_dtype(dtype)
 
-        kw = dict(rngs=rngs, dtype=dtype, param_dtype=param_dtype)
-        heads_dim = inner_dim // num_heads
-        # (nnx pytree attributes are data/static-typed at first assignment, so
-        # each optional submodule is assigned exactly once)
-        pooled = False
-        mlp_pooled: PooledContextMlp | None = None
-        label_embed: LabelEmbed | None = None
-        context_embed: nnx.Linear | None = None
-        if not simple_dit:
-            assert context_embedder is not None, "for MMDiT a context embedder must be provided"
-            if context_embedder.n_output == 2:
-                pooled = True
-                mlp_pooled = PooledContextMlp(context_embedder.output_size[0], embedding_dim, **kw)
-                context_embed = _linear(context_embedder.output_size[1], inner_dim, use_bias=False, **kw)
+            kw = dict(rngs=rngs, dtype=dtype, param_dtype=param_dtype)
+            heads_dim = inner_dim // num_heads
+            # (nnx pytree attributes are data/static-typed at first assignment, so
+            # each optional submodule is assigned exactly once)
+            pooled = False
+            mlp_pooled: PooledContextMlp | None = None
+            label_embed: LabelEmbed | None = None
+            context_embed: nnx.Linear | None = None
+            if not simple_dit:
+                assert context_embedder is not None, "for MMDiT a context embedder must be provided"
+                if context_embedder.n_output == 2:
+                    pooled = True
+                    mlp_pooled = PooledContextMlp(context_embedder.output_size[0], embedding_dim, **kw)
+                    context_embed = _linear(context_embedder.output_size[1], inner_dim, use_bias=False, **kw)
+                else:
+                    assert context_embedder.n_output == 1
+                    context_embed = _linear(context_embedder.output_size[0], inner_dim, use_bias=False, **kw)
+                if rope_axes_dim is None:
+                    d3 = int((partial_rotary_factor * heads_dim) // 3)
+                    d3 -= d3 % 2  # each axis dim must be even
+                    rope_axes_dim = [d3, d3, d3]  # (L text, H, W)
             else:
-                assert context_embedder.n_output == 1
-                context_embed = _linear(context_embedder.output_size[0], inner_dim, use_bias=False, **kw)
-            if rope_axes_dim is None:
-                d3 = int((partial_rotary_factor * heads_dim) // 3)
-                d3 -= d3 % 2  # each axis dim must be even
-                rope_axes_dim = [d3, d3, d3]  # (L text, H, W)
-        else:
-            if n_classes is not None:
-                label_embed = LabelEmbed(n_classes, embedding_dim, classifier_free,
-                                         rngs=rngs, dtype=dtype, param_dtype=param_dtype)
-            if rope_axes_dim is None:
-                d2 = int((partial_rotary_factor * heads_dim) // 2)
-                d2 -= d2 % 2
-                rope_axes_dim = [d2, d2]  # (H, W)
-            # In simple mode every block is already a single-stream DiT block
-            # (the reference instead swaps in context-taking MMDiTSingleStreamBlocks
-            # whose signature its own simple forward cannot call — dead path,
-            # mmdit.py:678-682 vs :891)
-            n_single_stream_blocks = 0
-        self.pooled_embedding = pooled
-        self.mlp_pooled_context = nnx.data(mlp_pooled)
-        self.label_embed = nnx.data(label_embed)
-        self.context_embed = nnx.data(context_embed)
-        # non-leaky augmentation conditioning (diffuse/augment.py): zero-init
-        # and bias-free, so training starts unperturbed and an absent label
-        # vector at sampling time is exactly the zero-label path
-        self.augment_embed = nnx.data(
-            nnx.Linear(augment_dim, embedding_dim, use_bias=False,
-                       kernel_init=nnx.initializers.zeros_init(),
-                       dtype=dtype, param_dtype=param_dtype, rngs=rngs)
-            if augment_dim > 0 else None
-        )
+                if n_classes is not None:
+                    label_embed = LabelEmbed(n_classes, embedding_dim, classifier_free,
+                                             rngs=rngs, dtype=dtype, param_dtype=param_dtype)
+                if rope_axes_dim is None:
+                    d2 = int((partial_rotary_factor * heads_dim) // 2)
+                    d2 -= d2 % 2
+                    rope_axes_dim = [d2, d2]  # (H, W)
+                # In simple mode every block is already a single-stream DiT block
+                # (the reference instead swaps in context-taking MMDiTSingleStreamBlocks
+                # whose signature its own simple forward cannot call — dead path,
+                # mmdit.py:678-682 vs :891)
+                n_single_stream_blocks = 0
+            self.pooled_embedding = pooled
+            self.mlp_pooled_context = nnx.data(mlp_pooled)
+            self.label_embed = nnx.data(label_embed)
+            self.context_embed = nnx.data(context_embed)
+            # non-leaky augmentation conditioning (diffuse/augment.py): zero-init
+            # and bias-free, so training starts unperturbed and an absent label
+            # vector at sampling time is exactly the zero-label path
+            self.augment_embed = nnx.data(
+                nnx.Linear(augment_dim, embedding_dim, use_bias=False,
+                           kernel_init=nnx.initializers.zeros_init(),
+                           dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+                if augment_dim > 0 else None
+            )
 
-        self.rope_axes_dim = list(rope_axes_dim)
-        self.last_layer = ModulatedLastLayer(embedding_dim, inner_dim, patch_size,
-                                             self.output_channels, **kw)
-        self.time_embed = TimeEmbedMlp(frequency_embedding, embedding_dim, **kw)
-        # patchify stays fp32 under mixed precision: it is the model's input
-        # interface (a tiny 4->inner_dim conv, negligible time), its VJP
-        # cannot keep an fp32 accumulator (conv VJPs require matching operand
-        # dtypes), and its weights' gradient noise feeds everything downstream
-        self.conv_proj = nnx.Conv(
-            self.input_channels, inner_dim, (patch_size, patch_size),
-            strides=(patch_size, patch_size), use_bias=False, padding="VALID",
-            kernel_init=_xavier(), dtype=stable_dtype(dtype), param_dtype=param_dtype, rngs=rngs,
-        )
+            self.rope_axes_dim = list(rope_axes_dim)
+            self.last_layer = ModulatedLastLayer(embedding_dim, inner_dim, patch_size,
+                                                 self.output_channels, **kw)
+            self.time_embed = TimeEmbedMlp(frequency_embedding, embedding_dim, **kw)
+            # patchify stays fp32 under mixed precision: it is the model's input
+            # interface (a tiny 4->inner_dim conv, negligible time), its VJP
+            # cannot keep an fp32 accumulator (conv VJPs require matching operand
+            # dtypes), and its weights' gradient noise feeds everything downstream
+            self.conv_proj = nnx.Conv(
+                self.input_channels, inner_dim, (patch_size, patch_size),
+                strides=(patch_size, patch_size), use_bias=False, padding="VALID",
+                kernel_init=_xavier(), dtype=stable_dtype(dtype), param_dtype=param_dtype, rngs=rngs,
+            )
 
-        n_dual = depth - n_single_stream_blocks
-        block_cls = DiTBlock if simple_dit else MMDiTBlock
-        block_kw = dict(attention_impl=attention_impl, mlp_type=mlp_type,
-                        n_experts=n_experts, capacity_factor=capacity_factor,
-                        attention_dtype=attention_dtype, mlp_dtype=mlp_dtype, **kw)
-        self.layers = nnx.List(
-            [
-                block_cls(inner_dim, embedding_dim, num_heads, mlp_ratio, self.rope_axes_dim, **block_kw)
-                for _ in range(n_dual)
-            ]
-            + [
-                MMDiTSingleStreamBlock(inner_dim, embedding_dim, num_heads, mlp_ratio,
-                                       self.rope_axes_dim, attention_impl=attention_impl, **kw)
-                for _ in range(n_single_stream_blocks)
-            ]
-        )
+            n_dual = depth - n_single_stream_blocks
+            block_cls = DiTBlock if simple_dit else MMDiTBlock
+            block_kw = dict(attention_impl=attention_impl, mlp_type=mlp_type,
+                            n_experts=n_experts, capacity_factor=capacity_factor,
+                            attention_dtype=attention_dtype, mlp_dtype=mlp_dtype, **kw)
+            self.layers = nnx.List(
+                [
+                    block_cls(inner_dim, embedding_dim, num_heads, mlp_ratio, self.rope_axes_dim, **block_kw)
+                    for _ in range(n_dual)
+                ]
+                + [
+                    MMDiTSingleStreamBlock(inner_dim, embedding_dim, num_heads, mlp_ratio,
+                                           self.rope_axes_dim, attention_impl=attention_impl, **kw)
+                    for _ in range(n_single_stream_blocks)
+                ]
+            )
 
     def set_parallel_mesh(self, mesh) -> None:
         """Inject the device mesh into blocks that need it at call time:

@@ -16,6 +16,7 @@ precomputed per sequence layout and closed over by the jitted step.
 from __future__ import annotations
 
 import math
+from contextlib import contextmanager
 from typing import Sequence
 
 import jax
@@ -28,19 +29,47 @@ from flax import nnx
 # --------------------------------------------------------------------------- #
 
 
+#: When False, ``stable_dtype`` becomes the identity — the whole model runs
+#: at the compute dtype (round-2-style full cast). Measured on the v5e chip
+#: (BASELINE.md round 4): the fp32 conditioning path costs ~6.5% train-step
+#: throughput (541 vs 577 samples/s) and was the named cause of the round-3
+#: bench drift. Toggle per-model via the ``stable_conditioning`` constructor
+#: arg (config-reachable: ``model.stable_conditioning=false``), not by
+#: writing this global directly.
+STABLE_CONDITIONING = True
+
+
+@contextmanager
+def stable_conditioning_scope(enabled: bool):
+    """Scoped override of the conditioning-path fp32 protection, used by
+    model constructors so every ``stable_dtype`` call during submodule
+    construction (time/label embed, modulation, patchify, final proj)
+    resolves consistently."""
+    global STABLE_CONDITIONING
+    prev = STABLE_CONDITIONING
+    STABLE_CONDITIONING = enabled
+    try:
+        yield
+    finally:
+        STABLE_CONDITIONING = prev
+
+
 def stable_dtype(dtype):
     """Compute dtype for the numerically sensitive conditioning path under
     mixed precision: half dtypes (bf16/fp16) promote to fp32; None/fp32 pass
-    through unchanged.
+    through unchanged (identity when ``STABLE_CONDITIONING`` is scoped off).
 
     This encodes the torch-autocast semantics the reference trains under
     (trainers/common.py:105): autocast runs matmuls/convs in bf16 but keeps
     normalization, the loss, and small pointwise paths fp32. A whole-model
     ``dtype=bf16`` cast instead degraded quality measurably (BASELINE.md
-    precision ablation: EDM FID 4.24 -> 22.89), so modulation / time-embed /
+    precision ablation: EDM FID 4.24 -> 22.89; later attributed to the EMA
+    horizon, see the round-4 bf16 verdict), so modulation / time-embed /
     label-embed / final-projection layers and the residual token stream use
     this helper to stay fp32 while the big matmuls keep the half dtype.
     """
+    if not STABLE_CONDITIONING:
+        return dtype
     if dtype is not None and jnp.issubdtype(dtype, jnp.floating) and jnp.finfo(dtype).bits < 32:
         return jnp.float32
     return dtype

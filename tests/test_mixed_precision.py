@@ -76,3 +76,42 @@ def test_bf16_unet_stable_path():
     assert res.in_conv.dtype == jnp.bfloat16
     out = m(jnp.zeros((2, 8, 8, 3)), jnp.array([0.5, 0.5]), cond={"y": jnp.array([0, 1])})
     assert np.isfinite(np.asarray(out["x"], np.float32)).all()
+
+
+def test_stable_conditioning_off_is_whole_model_cast():
+    """stable_conditioning=False (config: model.stable_conditioning=false) is
+    the round-2-style whole-model bf16 cast — the measured +6.5%-throughput
+    variant (BASELINE.md round 4 drift attribution). Everything, including
+    the conditioning path and the default stream dtype, runs at the compute
+    dtype; the global protection flag must be restored afterwards."""
+    from diffulab_tpu.networks import nn as nn_mod
+
+    m = MMDiT(
+        simple_dit=True, input_channels=3, inner_dim=64, embedding_dim=64,
+        num_heads=4, mlp_ratio=2, patch_size=2, depth=2, n_classes=5,
+        classifier_free=True, stable_conditioning=False,
+        rngs=nnx.Rngs(0), dtype=jnp.bfloat16,
+    )
+    assert m.time_embed.fc1.dtype == jnp.bfloat16
+    assert m.layers[0].modulation.lin.dtype == jnp.bfloat16
+    assert m.last_layer.linear.dtype == jnp.bfloat16
+    assert m.label_embed.embedding.dtype == jnp.bfloat16
+    assert m.conv_proj.dtype == jnp.bfloat16
+    tokens, _ = m.patchify(jnp.zeros((1, 8, 8, 3)))
+    assert tokens.dtype == jnp.bfloat16
+    # scope restored: a subsequent default model still protects
+    assert nn_mod.STABLE_CONDITIONING is True
+    m2 = _dit(jnp.bfloat16)
+    assert m2.time_embed.fc1.dtype == jnp.float32
+
+
+def test_stable_conditioning_scope_restores_on_error():
+    from diffulab_tpu.networks import nn as nn_mod
+
+    try:
+        with nn_mod.stable_conditioning_scope(False):
+            assert nn_mod.STABLE_CONDITIONING is False
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert nn_mod.STABLE_CONDITIONING is True
