@@ -81,3 +81,40 @@ def tag_to_dirname(tag: str) -> str:
     for ch in "[]{}()\"'":
         out = out.replace(ch, "")
     return out
+
+
+def dispatch(args, run_one) -> None:
+    """Shared CLI entry: run ``run_one(cfg, seed)`` once per sweep
+    combination (``--sweep``), or once on the composed config without it.
+    Every training CLI routes through here so the hydra-multirun workflow
+    (reference configs/train_cifar10_flow_matching.yaml:24-29) is uniform
+    across entry points. Each combination's tag templates the run dir via
+    ``trainer.project_name`` (hydra uses job-numbered subdirs; a readable
+    tag beats a number for the ablation-campaign workflow)."""
+    from diffulab_tpu.config.compose import compose_config
+
+    if getattr(args, "sweep", False):
+        runs = expand_sweep(args.overrides)
+        print(f"sweep: {len(runs)} runs")
+        for i, (concrete, tag) in enumerate(runs):
+            cfg = compose_config(args.config_dir, args.config_name, concrete)
+            if tag:
+                cfg["trainer"]["project_name"] = (
+                    f"{cfg['trainer'].get('project_name', 'diffulab')}/{tag_to_dirname(tag)}"
+                )
+            print(f"=== sweep run {i + 1}/{len(runs)}: {tag or '(single)'} -> "
+                  f"{cfg['trainer'].get('project_name')}")
+            run_one(cfg, args.seed)
+        return
+
+    cfg = compose_config(args.config_dir, args.config_name, args.overrides)
+    run_one(cfg, args.seed)
+
+
+def add_sweep_arg(parser) -> None:
+    parser.add_argument(
+        "--sweep", action="store_true",
+        help="hydra-multirun-style sweep: overrides with top-level commas "
+             "(trainer.ema_rate=0.99,0.999) become choice axes; runs the "
+             "cartesian product sequentially, one templated run dir per combo",
+    )

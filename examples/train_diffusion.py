@@ -18,7 +18,8 @@ import jax
 import yaml
 from flax import nnx
 
-from diffulab_tpu.config import compose_config, instantiate
+from diffulab_tpu.config import instantiate
+from diffulab_tpu.config import sweep
 from diffulab_tpu.config.instantiate import model_dtype_kwargs
 from diffulab_tpu.data.loader import DataLoader
 from diffulab_tpu.diffuse import Diffuser
@@ -38,32 +39,10 @@ def main() -> None:
     parser.add_argument("--config-name", default="train_mnist_flow_matching")
     parser.add_argument("--config-dir", default=str(CONFIG_DIR))
     parser.add_argument("--seed", type=int, default=0)
-    parser.add_argument("--sweep", action="store_true",
-                        help="hydra-multirun-style sweep: overrides with "
-                             "top-level commas (trainer.ema_rate=0.99,0.999) "
-                             "become choice axes; runs the cartesian product "
-                             "sequentially, one templated run dir per combo")
+    sweep.add_sweep_arg(parser)
     parser.add_argument("overrides", nargs="*", help="dotlist overrides key=value")
     args = parser.parse_args()
-
-    if args.sweep:
-        from diffulab_tpu.config.sweep import expand_sweep, tag_to_dirname
-
-        runs = expand_sweep(args.overrides)
-        print(f"sweep: {len(runs)} runs")
-        for i, (concrete, tag) in enumerate(runs):
-            cfg = compose_config(args.config_dir, args.config_name, concrete)
-            if tag:
-                cfg["trainer"]["project_name"] = (
-                    f"{cfg['trainer'].get('project_name', 'diffulab')}/{tag_to_dirname(tag)}"
-                )
-            print(f"=== sweep run {i + 1}/{len(runs)}: {tag or '(single)'} -> "
-                  f"{cfg['trainer'].get('project_name')}")
-            run_one(cfg, args.seed)
-        return
-
-    cfg = compose_config(args.config_dir, args.config_name, args.overrides)
-    run_one(cfg, args.seed)
+    sweep.dispatch(args, run_one)
 
 
 def run_one(cfg: dict, seed: int) -> None:

@@ -26,7 +26,8 @@ sys.path.insert(0, str(Path(__file__).parent.parent))  # allow running without i
 import yaml
 from flax import nnx
 
-from diffulab_tpu.config import compose_config, instantiate
+from diffulab_tpu.config import instantiate
+from diffulab_tpu.config import sweep
 from diffulab_tpu.data.imagenet import MultiARBatchSampler, collate_fn
 from diffulab_tpu.data.loader import DataLoader
 from diffulab_tpu.diffuse import Diffuser
@@ -73,103 +74,106 @@ def main() -> None:
         help="deterministic brighter-image-wins judge: a REAL preference the "
              "policy can learn (val/judge_score tracks mean luma per epoch)",
     )
+    sweep.add_sweep_arg(parser)
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args()
 
-    cfg = compose_config(args.config_dir, args.config_name, args.overrides)
-    print(yaml.safe_dump(cfg, sort_keys=False))
-    rngs = nnx.Rngs(args.seed)
+    def run_one(cfg: dict, seed: int) -> None:
+        print(yaml.safe_dump(cfg, sort_keys=False))
+        rngs = nnx.Rngs(seed)
 
-    train_dataset = instantiate(cfg["dataset"]["train"])
-    val_dataset = instantiate(cfg["dataset"]["val"])
+        train_dataset = instantiate(cfg["dataset"]["train"])
+        val_dataset = instantiate(cfg["dataset"]["val"])
 
-    embedder = instantiate(cfg["embedder"], rngs=rngs)
-    from diffulab_tpu.config.instantiate import model_dtype_kwargs
-    denoiser = instantiate(cfg["model"], context_embedder=embedder, rngs=rngs,
-                           **model_dtype_kwargs(cfg["trainer"]))
-    vision_tower = instantiate(cfg["vision_tower"], rngs=rngs)
-    for ds in (train_dataset, val_dataset):
-        ds.set_latent_scale(vision_tower.latent_scale)
-        if hasattr(ds, "set_latent_bias"):
-            ds.set_latent_bias(vision_tower.latent_bias)
+        embedder = instantiate(cfg["embedder"], rngs=rngs)
+        from diffulab_tpu.config.instantiate import model_dtype_kwargs
+        denoiser = instantiate(cfg["model"], context_embedder=embedder, rngs=rngs,
+                               **model_dtype_kwargs(cfg["trainer"]))
+        vision_tower = instantiate(cfg["vision_tower"], rngs=rngs)
+        for ds in (train_dataset, val_dataset):
+            ds.set_latent_scale(vision_tower.latent_scale)
+            if hasattr(ds, "set_latent_bias"):
+                ds.set_latent_bias(vision_tower.latent_bias)
 
-    reward_cfg = dict(cfg["reward"])
-    if args.luma_judge:
-        from diffulab_tpu.networks.rewards.grpo import LumaJudge
+        reward_cfg = dict(cfg["reward"])
+        if args.luma_judge:
+            from diffulab_tpu.networks.rewards.grpo import LumaJudge
 
-        reward_cfg["judge"] = LumaJudge()
-    elif args.stub_judge:
-        # Alignment Score-format replies preferring image 1: exercises the
-        # full parse -> win-rate -> z-score path without VLM weights.
-        reward_cfg["judge"] = lambda queries: [
-            "Alignment Score:\nImage 1: 0.6\nImage 2: 0.4\n"
-            "Coherence Score:\nImage 1: 0.6\nImage 2: 0.4\n"
-            "Style Score:\nImage 1: 0.6\nImage 2: 0.4"
-            for _ in queries
-        ]
-    reward_model = instantiate(reward_cfg)
+            reward_cfg["judge"] = LumaJudge()
+        elif args.stub_judge:
+            # Alignment Score-format replies preferring image 1: exercises the
+            # full parse -> win-rate -> z-score path without VLM weights.
+            reward_cfg["judge"] = lambda queries: [
+                "Alignment Score:\nImage 1: 0.6\nImage 2: 0.4\n"
+                "Coherence Score:\nImage 1: 0.6\nImage 2: 0.4\n"
+                "Style Score:\nImage 1: 0.6\nImage 2: 0.4"
+                for _ in queries
+            ]
+        reward_model = instantiate(reward_cfg)
 
-    dl_cfg = cfg.get("dataloader", {})
-    bs = dl_cfg.get("batch_size", 8)
-    mk = dict(batch_size=bs, collate_fn=collate_fn)
-    if type(train_dataset).__name__ == "ImageNetmultiAR":
-        train_loader = DataLoader(
-            train_dataset, sampler=MultiARBatchSampler(
-                train_dataset, bs, shuffle=True, drop_last=True, seed=args.seed), **mk)
-        val_loader = DataLoader(
-            val_dataset, sampler=MultiARBatchSampler(
-                val_dataset, bs, shuffle=False, drop_last=False), **mk)
-    else:
-        train_loader = DataLoader(train_dataset, shuffle=True, seed=args.seed,
-                                  drop_last=True, **mk)
-        val_loader = DataLoader(val_dataset, shuffle=False, **mk)
+        dl_cfg = cfg.get("dataloader", {})
+        bs = dl_cfg.get("batch_size", 8)
+        mk = dict(batch_size=bs, collate_fn=collate_fn)
+        if type(train_dataset).__name__ == "ImageNetmultiAR":
+            train_loader = DataLoader(
+                train_dataset, sampler=MultiARBatchSampler(
+                    train_dataset, bs, shuffle=True, drop_last=True, seed=seed), **mk)
+            val_loader = DataLoader(
+                val_dataset, sampler=MultiARBatchSampler(
+                    val_dataset, bs, shuffle=False, drop_last=False), **mk)
+        else:
+            train_loader = DataLoader(train_dataset, shuffle=True, seed=seed,
+                                      drop_last=True, **mk)
+            val_loader = DataLoader(val_dataset, shuffle=False, **mk)
 
-    diffuser = Diffuser(
-        denoiser=denoiser,
-        model_type=cfg["diffuser"]["model_type"],
-        n_steps=cfg["diffuser"]["n_steps"],
-        sampling_method=cfg["diffuser"]["sampling_method"],
-        vision_tower=vision_tower,
-        extra_args=cfg["diffuser"].get("extra_args", {}),
-    )
-    optimizer = instantiate(cfg["optimizer"])
+        diffuser = Diffuser(
+            denoiser=denoiser,
+            model_type=cfg["diffuser"]["model_type"],
+            n_steps=cfg["diffuser"]["n_steps"],
+            sampling_method=cfg["diffuser"]["sampling_method"],
+            vision_tower=vision_tower,
+            extra_args=cfg["diffuser"].get("extra_args", {}),
+        )
+        optimizer = instantiate(cfg["optimizer"])
 
-    trainer_cfg = cfg["trainer"]
-    grpo_cfg = cfg.get("grpo", {})
-    trainer = GRPOTrainer(
-        n_epoch=trainer_cfg["n_epoch"],
-        gradient_accumulation_step=trainer_cfg.get("gradient_accumulation_step", 1),
-        precision_type=trainer_cfg.get("precision_type", "no"),
-        project_name=trainer_cfg.get("project_name", "grpo_alignment"),
-        save_path=trainer_cfg.get("save_path"),
-        use_ema=trainer_cfg.get("use_ema", True),
-        ema_rate=trainer_cfg.get("ema_rate", 0.9999),
-        ema_update_after_step=trainer_cfg.get("ema_update_after_step", 0),
-        ema_update_every=trainer_cfg.get("ema_update_every", 1),
-        ema_inv_gamma=trainer_cfg.get("ema_inv_gamma", 1.0),
-        ema_power=trainer_cfg.get("ema_power", 2.0 / 3.0),
-        run_config=cfg,
-        mesh=trainer_cfg.get("mesh"),
-        init_kwargs={"wandb": trainer_cfg.get("wandb", {})},
-        async_checkpointing=trainer_cfg.get("async_checkpointing", True),
-        timestep_fraction=grpo_cfg.get("timestep_fraction", 0.6),
-        kl_beta=grpo_cfg.get("kl_beta", 0.0),
-        eps=grpo_cfg.get("eps", 0.1),
-        mini_batch_size=grpo_cfg.get("mini_batch_size"),
-        offload_trajectories=grpo_cfg.get("offload_trajectories", True),
-    )
-    trainer.train(
-        diffuser=diffuser,
-        reward_model=reward_model,
-        optimizer=optimizer,
-        train_dataloader=_ListLoader(train_loader),
-        val_dataloader=_ListLoader(val_loader),
-        log_validation_images=trainer_cfg.get("log_validation_images", True),
-        n_image_per_prompt=grpo_cfg.get("n_image_per_prompt", 16),
-        guidance_scale=grpo_cfg.get("guidance_scale", 4.0),
-        image_resolution=tuple(grpo_cfg.get("image_resolution", (512, 512))),
-        seed=args.seed,
-    )
+        trainer_cfg = cfg["trainer"]
+        grpo_cfg = cfg.get("grpo", {})
+        trainer = GRPOTrainer(
+            n_epoch=trainer_cfg["n_epoch"],
+            gradient_accumulation_step=trainer_cfg.get("gradient_accumulation_step", 1),
+            precision_type=trainer_cfg.get("precision_type", "no"),
+            project_name=trainer_cfg.get("project_name", "grpo_alignment"),
+            save_path=trainer_cfg.get("save_path"),
+            use_ema=trainer_cfg.get("use_ema", True),
+            ema_rate=trainer_cfg.get("ema_rate", 0.9999),
+            ema_update_after_step=trainer_cfg.get("ema_update_after_step", 0),
+            ema_update_every=trainer_cfg.get("ema_update_every", 1),
+            ema_inv_gamma=trainer_cfg.get("ema_inv_gamma", 1.0),
+            ema_power=trainer_cfg.get("ema_power", 2.0 / 3.0),
+            run_config=cfg,
+            mesh=trainer_cfg.get("mesh"),
+            init_kwargs={"wandb": trainer_cfg.get("wandb", {})},
+            async_checkpointing=trainer_cfg.get("async_checkpointing", True),
+            timestep_fraction=grpo_cfg.get("timestep_fraction", 0.6),
+            kl_beta=grpo_cfg.get("kl_beta", 0.0),
+            eps=grpo_cfg.get("eps", 0.1),
+            mini_batch_size=grpo_cfg.get("mini_batch_size"),
+            offload_trajectories=grpo_cfg.get("offload_trajectories", True),
+        )
+        trainer.train(
+            diffuser=diffuser,
+            reward_model=reward_model,
+            optimizer=optimizer,
+            train_dataloader=_ListLoader(train_loader),
+            val_dataloader=_ListLoader(val_loader),
+            log_validation_images=trainer_cfg.get("log_validation_images", True),
+            n_image_per_prompt=grpo_cfg.get("n_image_per_prompt", 16),
+            guidance_scale=grpo_cfg.get("guidance_scale", 4.0),
+            image_resolution=tuple(grpo_cfg.get("image_resolution", (512, 512))),
+            seed=seed,
+        )
+
+    sweep.dispatch(args, run_one)
 
 
 if __name__ == "__main__":
