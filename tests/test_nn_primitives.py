@@ -232,3 +232,29 @@ def test_nearest_upsample_2x_matches_resize():
     x = jax.random.normal(jax.random.key(0), (2, 5, 7, 3))
     ref = jax.image.resize(x, (2, 10, 14, 3), method="nearest")
     np.testing.assert_array_equal(np.asarray(nearest_upsample_2x(x)), np.asarray(ref))
+
+
+def test_grad_clip_norm_optimizer_option():
+    """optimizer.grad_clip_norm=N clips by global norm before the update —
+    the guard against the measured GRPO runaway-update collapse (BASELINE.md
+    round 4: one lr-3e-3 update jumped ratio_dev 0.06 -> 0.80, after which
+    the fully-clipped PPO objective was zero-gradient and unrecoverable)."""
+    import optax
+
+    from diffulab_tpu.training.optim import adamw, sgd
+
+    params = {"w": jnp.ones((4,))}
+    big_grads = {"w": jnp.full((4,), 1e6)}
+
+    # sgd's update is -lr*grad, so the clip is directly observable
+    tx = sgd(lr=1.0, grad_clip_norm=1.0)
+    updates, _ = tx.update(big_grads, tx.init(params), params)
+    assert float(optax.global_norm(updates)) <= 1.0 + 1e-6
+    tx_plain = sgd(lr=1.0)
+    updates_plain, _ = tx_plain.update(big_grads, tx_plain.init(params), params)
+    assert float(optax.global_norm(updates_plain)) > 1e5
+
+    # adamw path: accepts the key and still yields finite updates
+    tx = adamw(lr=1.0, grad_clip_norm=1.0)
+    updates, _ = tx.update(big_grads, tx.init(params), params)
+    assert jnp.all(jnp.isfinite(updates["w"]))
