@@ -113,6 +113,9 @@ class GRPOTrainer(Trainer):
                 return losses["loss"], losses
 
             (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            # stiffness diagnostic (BASELINE.md round-4 GRPO campaign): the
+            # raw gradient scale, before any optimizer.grad_clip_norm clip
+            losses = dict(losses, grad_norm=optax.global_norm(grads))
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             if use_ema:
