@@ -40,10 +40,19 @@ TRAIN_BURST = 10  # chained steps per timed burst (params of step i feed i+1)
 
 
 def build():
+    # Whole-model bf16 cast (stable_conditioning=False, bf16 residual stream):
+    # the round-3 fp32 conditioning path was the named cause of the round-3/4
+    # train-step drift (+6.5% step time, scripts/ab_stable_dtype.py), and the
+    # round-4 full-cast quality arm measured it FID-free at the optimal
+    # post-hoc-EMA horizon (0.909 vs fp32 1.01 — BASELINE.md round-4
+    # precision-reclaim). The bench therefore runs the fastest measured-safe
+    # policy; the library default keeps stable_conditioning=True for
+    # reference-autocast parity.
     model = MMDiT(
         simple_dit=True, input_channels=4, inner_dim=768, embedding_dim=768,
         num_heads=12, mlp_ratio=4, patch_size=2, depth=12, n_classes=1000,
-        classifier_free=True, dtype=jnp.bfloat16, rngs=nnx.Rngs(0),
+        classifier_free=True, dtype=jnp.bfloat16, stable_conditioning=False,
+        stream_dtype=jnp.bfloat16, rngs=nnx.Rngs(0),
     )
     diffuser = Diffuser(model, sampling_method="euler", model_type="rectified_flow",
                         n_steps=SAMPLE_STEPS, extra_args={"logits_normal": True})

@@ -6,12 +6,15 @@ lr/weight_decay/betas/eps); these factories keep those YAML keys and return
 optax transformations, so the same config files drive training here.
 
 All factories accept ``grad_clip_norm``: when set, gradients are clipped by
-global norm before the update (``optax.clip_by_global_norm``). Measured
-motivation (BASELINE.md round-4 GRPO stiffness campaign): the unclipped
-lr-3e-3 GRPO arm collapsed at epoch 22 via one runaway update (ratio_dev
-0.06 -> 0.80), after which the fully-clipped PPO objective has ZERO gradient
-everywhere and the policy can never recover — global-norm clipping is the
-standard guard against exactly that failure.
+global norm before the update (``optax.clip_by_global_norm``).
+
+Measured caveat (BASELINE.md round-4 "Grad clipping does NOT guard the PPO
+collapse"): for the adaptive optimizers (adam/adamw) the second-moment
+preconditioner renormalizes the gradient, so global-norm clipping cannot
+bound the update size — the CPU probe reproduced the on-chip GRPO epoch-22
+collapse identically at clip 1.0 AND clip 0.05. Clipping is the right guard
+for the SGD family; against the PPO collapse the lever is the lr (or a
+trust-region early-stop on the logged ``train/ratio_dev``).
 """
 
 from __future__ import annotations

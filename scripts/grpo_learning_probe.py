@@ -7,7 +7,15 @@ z-scored advantages -> clipped-ratio update, grpo_trainer.py) from the
 chip recipe's budget/lr so a flat chip run can be attributed to either
 the algorithm or the recipe. Run with:
 
-    env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python scripts/grpo_learning_probe.py
+    env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python scripts/grpo_learning_probe.py \
+        [N_EPOCHS] [LR] [EPS] [GRAD_CLIP_NORM]
+
+The optional 4th arg reproduces the on-chip PPO collapse mode on CPU: at a
+high enough lr one runaway update blows the ratio deviation past the clip
+range, after which the fully-clipped objective has zero gradient everywhere
+and the policy never recovers (BASELINE.md round-4 GRPO stiffness campaign,
+epoch-22 collapse). ``grad_clip_norm`` is the standard guard; this probe
+measures whether it prevents the runaway at the same lr.
 """
 
 import json
@@ -29,6 +37,7 @@ from diffulab_tpu.training.optim import adamw
 N_EPOCHS = int(sys.argv[1]) if len(sys.argv) > 1 else 150
 LR = float(sys.argv[2]) if len(sys.argv) > 2 else 3e-3
 EPS = float(sys.argv[3]) if len(sys.argv) > 3 else 1e-4
+CLIP = float(sys.argv[4]) if len(sys.argv) > 4 else 0.0
 N_IMG = 8
 
 
@@ -64,7 +73,7 @@ def main():
         diffuser,
         reward_model=PrefGRPORewardModel(version="7b", n_image_per_prompt=N_IMG,
                                          judge=LumaJudge()),
-        optimizer=adamw(lr=LR),
+        optimizer=adamw(lr=LR, grad_clip_norm=CLIP or None),
         train_dataloader=batch,
         n_image_per_prompt=N_IMG,
         guidance_scale=1.0,
@@ -77,6 +86,11 @@ def main():
     scores = [r["train/judge_score"] for r in rows if "train/judge_score" in r]
     print("judge_score curve (every 10th):",
           [f"{s:.4f}" for s in scores[::10]])
+    for key in ("train/clip_frac", "train/ratio_dev", "train/grad_norm"):
+        vals = [r[key] for r in rows if key in r]
+        if vals:
+            print(f"{key} (every 10th):", [f"{v:.3f}" for v in vals[::10]],
+                  f"max {max(vals):.3f}")
     first, last = np.mean(scores[:10]), np.mean(scores[-10:])
     print(f"first-10 mean {first:.4f} -> last-10 mean {last:.4f}  delta {last-first:+.4f}")
     print("LEARNING" if last - first > 0.01 else "FLAT")
