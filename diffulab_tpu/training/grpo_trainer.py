@@ -57,17 +57,36 @@ class GRPOTrainer(Trainer):
 
     def __init__(self, *args: Any, timestep_fraction: float = 0.6, kl_beta: float = 0.0,
                  eps: float = 0.1, mini_batch_size: int | None = None,
-                 offload_trajectories: bool = True, **kwargs: Any):
+                 offload_trajectories: bool = True, trust_region: float | None = 0.3,
+                 trust_region_backoff: float = 0.5, **kwargs: Any):
         # eps: PPO clip range. The reference defaults 1e-4 (flow.py:330) —
         # measured (BASELINE.md round 3) to clip away essentially the whole
         # policy-gradient signal: judge_score stayed flat over 40 on-chip
         # epochs at 1e-4 but rose 0.50 -> 0.97 at 0.1 on the same task.
+        #
+        # trust_region: the PPO-collapse guard the round-4 stiffness campaign
+        # prescribed (BASELINE.md "Grad clipping does NOT guard the PPO
+        # collapse"). When an update's mean |ratio - 1| (``ratio_dev``, the
+        # logged runaway diagnostic) exceeds this threshold, the policy has
+        # overshot the behavior policy past recovery (measured dead state:
+        # ratio_dev ~0.8, fully-clipped objective, exactly-zero gradients
+        # forever). The guard then (a) REJECTS the update, (b) rolls params
+        # back to the batch-start sampling policy (ratio re-centers at 1, so
+        # the gradient signal is restored instead of dead), and (c) multiplies
+        # a persistent lr scale by ``trust_region_backoff`` so the retried
+        # steps shrink until they fit the region — grad clipping cannot do
+        # this under adamw (second-moment preconditioning renormalizes the
+        # clipped gradient; measured negative result, training/optim.py).
+        # Healthy runs measure ratio_dev <= ~0.02 at eps=0.1, so 0.3 is far
+        # from the signal and strictly below the 0.8 collapse. None disables.
         super().__init__(*args, **kwargs)
         self.timestep_fraction = timestep_fraction
         self.kl_beta = kl_beta
         self.eps = eps
         self.mini_batch_size = mini_batch_size
         self.offload_trajectories = offload_trajectories
+        self.trust_region = trust_region
+        self.trust_region_backoff = trust_region_backoff
 
     # ------------------------------------------------------------------ #
     def _build_fns(self, diffuser: Diffuser, graphdef, optimizer, guidance_scale: float):
@@ -96,9 +115,12 @@ class GRPOTrainer(Trainer):
                 )
             return out, decoded
 
+        trust_region = self.trust_region
+        tr_backoff = self.trust_region_backoff
+
         @partial(jax.jit, donate_argnums=(0, 3, 4))
-        def grpo_step(params, rng_state, rest, opt_state, ema_params, cond, sampling,
-                      advantages, rng, step):
+        def grpo_step(params, rng_state, rest, opt_state, ema_params, params_ref,
+                      lr_scale, cond, sampling, advantages, rng, step):
             def loss_fn(params):
                 modules = nnx.merge(graphdef, params, rng_state, rest)
 
@@ -116,11 +138,37 @@ class GRPOTrainer(Trainer):
             # stiffness diagnostic (BASELINE.md round-4 GRPO campaign): the
             # raw gradient scale, before any optimizer.grad_clip_norm clip
             losses = dict(losses, grad_norm=optax.global_norm(grads))
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
+            updates, new_opt_state = optimizer.update(grads, opt_state, params)
+            if trust_region is None:
+                params = optax.apply_updates(params, updates)
+                opt_state = new_opt_state
+                if use_ema:
+                    ema_params = ema_update(ema_config, ema_params, params, step)
+                return params, opt_state, ema_params, lr_scale, losses
+
+            # trust-region guard (see ctor docstring): reject + rollback +
+            # lr backoff when this update's policy already drifted past the
+            # region. ``jnp.where`` keeps the step a single traced program.
+            reject = losses["ratio_dev"] > trust_region
+            new_params = optax.apply_updates(
+                params, jax.tree.map(lambda u: u * lr_scale, updates)
+            )
+            params = jax.tree.map(
+                lambda ref, new: jnp.where(reject, ref, new), params_ref, new_params
+            )
+            opt_state = jax.tree.map(
+                lambda old, new: jnp.where(reject, old, new) if old is not None else old,
+                opt_state, new_opt_state,
+                is_leaf=lambda x: x is None,
+            )
+            lr_scale = jnp.where(reject, lr_scale * tr_backoff, lr_scale)
             if use_ema:
-                ema_params = ema_update(ema_config, ema_params, params, step)
-            return params, opt_state, ema_params, losses
+                new_ema = ema_update(ema_config, ema_params, params, step)
+                ema_params = jax.tree.map(
+                    lambda old, new: jnp.where(reject, old, new), ema_params, new_ema
+                )
+            losses = dict(losses, tr_reject=reject.astype(jnp.float32), lr_scale=lr_scale)
+            return params, opt_state, ema_params, lr_scale, losses
 
         @jax.jit
         def grpo_eval(params, rng_state, rest, cond, sampling, advantages, rng):
@@ -226,15 +274,24 @@ class GRPOTrainer(Trainer):
 
         # --- LEARN per group -------------------------------------------------
         prefix = "train" if train else "val"
+        # trust-region rollback target: the batch-start sampling policy (a
+        # copy — params buffers are donated into grpo_step). Re-centers the
+        # PPO ratio at exactly 1, restoring gradient signal after a runaway.
+        # (a scalar placeholder when the guard is off — the donated params
+        # must not alias a second argument)
+        params_ref = jax.tree.map(jnp.copy, params) if (
+            train and self.trust_region is not None
+        ) else jnp.zeros(())
         for g, sampling in enumerate(samplings):
             if self.offload_trajectories:
                 sampling = self._put_batch(sampling, p)
             adv_g = self._put_batch(advantages[:, g], p)
             if train:
                 step += 1
-                params, opt_state, ema_params, losses = grpo_step(
-                    params, rng_state, rest, opt_state, ema_params, cond_arrays,
-                    sampling, adv_g, jax.random.fold_in(rng, 200 + g), step,
+                params, opt_state, ema_params, self._lr_scale, losses = grpo_step(
+                    params, rng_state, rest, opt_state, ema_params, params_ref,
+                    self._lr_scale, cond_arrays, sampling, adv_g,
+                    jax.random.fold_in(rng, 200 + g), step,
                 )
             else:
                 losses = grpo_eval(sample_params, rng_state, rest, cond_arrays,
@@ -319,6 +376,10 @@ class GRPOTrainer(Trainer):
         tracker = AverageMeter()
         best_val_loss = float("inf")
         rng = jax.random.key(seed)
+        # persistent trust-region lr scale (shrinks on each rejected update;
+        # multiplies the optimizer's updates, which is lr-equivalent for the
+        # adam family where the update is linear in lr)
+        self._lr_scale = jnp.float32(1.0)
         # resume continues the raw step counter (it drives the EMA decay
         # ramp — restarting at 0 silently resets the restored EMA to a
         # near-copy of the live weights, the measured EMA-horizon artifact).

@@ -420,8 +420,15 @@ class BaseTrainer(Trainer):
         mi = batch.get("model_inputs", {})
         texts = mi.get("initial_context")
         embedder = getattr(diffuser.denoiser, "context_embedder", None)
-        if texts is not None and "context" not in mi and hasattr(embedder, "embed_host"):
-            out = embedder.embed_host(list(texts))
+        if texts is not None and "context" not in mi:
+            if hasattr(embedder, "embed_host"):
+                out = embedder.embed_host(list(texts))
+            elif hasattr(embedder, "tokenize"):
+                # in-graph trainable embedder: strings -> token-id arrays
+                # host-side; the encoder itself runs (and trains) under jit
+                out = embedder.tokenize(list(texts))
+            else:
+                return batch
             mi = dict(mi)
             mi["context"] = dict(out)
             batch = {**batch, "model_inputs": mi}

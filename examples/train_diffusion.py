@@ -163,6 +163,7 @@ def run_one(cfg: dict, seed: int) -> None:
         val_dataloader=val_loader,
         scheduler=scheduler,
         per_batch_scheduler=trainer_cfg.get("per_batch_scheduler", False),
+        train_embedder=trainer_cfg.get("train_embedder", False),
         log_validation_images=trainer_cfg.get("log_validation_images", True),
         p_classifier_free_guidance=trainer_cfg.get("p_classifier_free_guidance", 0.2),
         val_steps=trainer_cfg.get("val_steps", 50),

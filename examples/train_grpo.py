@@ -159,6 +159,8 @@ def main() -> None:
             eps=grpo_cfg.get("eps", 0.1),
             mini_batch_size=grpo_cfg.get("mini_batch_size"),
             offload_trajectories=grpo_cfg.get("offload_trajectories", True),
+            trust_region=grpo_cfg.get("trust_region", 0.3),
+            trust_region_backoff=grpo_cfg.get("trust_region_backoff", 0.5),
         )
         trainer.train(
             diffuser=diffuser,

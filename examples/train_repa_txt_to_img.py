@@ -116,6 +116,7 @@ def main() -> None:
             scheduler=(instantiate(trainer_cfg["lr_scheduler"])
                        if trainer_cfg.get("lr_scheduler") else None),
             per_batch_scheduler=trainer_cfg.get("per_batch_scheduler", False),
+            train_embedder=trainer_cfg.get("train_embedder", False),
             denoiser_ckpt=trainer_cfg.get("denoiser_ckpt"),
             optimizer_ckpt=trainer_cfg.get("optimizer_ckpt"),
             ema_ckpt=trainer_cfg.get("ema_ckpt"),

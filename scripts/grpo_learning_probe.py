@@ -8,14 +8,18 @@ chip recipe's budget/lr so a flat chip run can be attributed to either
 the algorithm or the recipe. Run with:
 
     env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python scripts/grpo_learning_probe.py \
-        [N_EPOCHS] [LR] [EPS] [GRAD_CLIP_NORM]
+        [N_EPOCHS] [LR] [EPS] [GRAD_CLIP_NORM] [TRUST_REGION]
 
 The optional 4th arg reproduces the on-chip PPO collapse mode on CPU: at a
 high enough lr one runaway update blows the ratio deviation past the clip
 range, after which the fully-clipped objective has zero gradient everywhere
 and the policy never recovers (BASELINE.md round-4 GRPO stiffness campaign,
-epoch-22 collapse). ``grad_clip_norm`` is the standard guard; this probe
-measures whether it prevents the runaway at the same lr.
+epoch-22 collapse). Measured verdict (BASELINE.md round-4, optim.py
+docstring): ``grad_clip_norm`` does NOT prevent the collapse under adamw —
+the preconditioner renormalizes the clipped gradient, so clip 1.0 and clip
+0.05 both died identically. The working guard is the 5th arg: the trainer's
+``trust_region`` (reject + rollback + lr backoff on ``ratio_dev``), default
+0.3; pass ``none`` to disable it and reproduce the raw collapse.
 """
 
 import json
@@ -38,6 +42,8 @@ N_EPOCHS = int(sys.argv[1]) if len(sys.argv) > 1 else 150
 LR = float(sys.argv[2]) if len(sys.argv) > 2 else 3e-3
 EPS = float(sys.argv[3]) if len(sys.argv) > 3 else 1e-4
 CLIP = float(sys.argv[4]) if len(sys.argv) > 4 else 0.0
+TRUST = (None if sys.argv[5].lower() == "none" else float(sys.argv[5])) \
+    if len(sys.argv) > 5 else 0.3
 N_IMG = 8
 
 
@@ -67,7 +73,7 @@ def main():
     out = Path("/tmp/grpo_probe")
     trainer = GRPOTrainer(
         n_epoch=N_EPOCHS, save_path=out, project_name="probe", use_ema=False,
-        timestep_fraction=0.6, kl_beta=0.0, eps=EPS,
+        timestep_fraction=0.6, kl_beta=0.0, eps=EPS, trust_region=TRUST,
     )
     trainer.train(
         diffuser,
@@ -86,7 +92,8 @@ def main():
     scores = [r["train/judge_score"] for r in rows if "train/judge_score" in r]
     print("judge_score curve (every 10th):",
           [f"{s:.4f}" for s in scores[::10]])
-    for key in ("train/clip_frac", "train/ratio_dev", "train/grad_norm"):
+    for key in ("train/clip_frac", "train/ratio_dev", "train/grad_norm",
+                "train/tr_reject", "train/lr_scale"):
         vals = [r[key] for r in rows if key in r]
         if vals:
             print(f"{key} (every 10th):", [f"{v:.3f}" for v in vals[::10]],

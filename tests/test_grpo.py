@@ -229,3 +229,64 @@ def test_luma_judge_prefers_brighter_and_reports_metric():
     assert "Image 2" in outs[0]
     win, cnt = rm.parse_and_aggregate(outs, np.array([[0, 1]]), 1)
     assert win[0, 1] == 1.0 and win[0, 0] == 0.0
+
+
+def test_trust_region_guards_ppo_collapse(tmp_path):
+    """The measured PPO collapse (BASELINE.md round-4: lr overshoot through
+    the stiff EM logprob chain -> ratio_dev ~0.8 -> fully-clipped objective,
+    gradient exactly 0 forever) must be unreachable at default settings.
+
+    Uses the LumaJudge repro from scripts/grpo_learning_probe.py at the lr
+    that collapses on update 1 with the guard off (1e-1). With the default
+    trust_region the run must (a) fire the guard, (b) back off the lr scale,
+    and (c) end with ratio_dev back inside the region and a live gradient —
+    not the all-clipped dead state.
+    """
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from diffulab_tpu.networks.rewards.grpo import LumaJudge
+
+    def run(name, trust_region):
+        diffuser = _tiny_diffuser()
+        trainer = GRPOTrainer(
+            n_epoch=6, save_path=tmp_path, project_name=name, use_ema=False,
+            timestep_fraction=0.6, kl_beta=0.0, eps=0.1,
+            trust_region=trust_region,
+        )
+        trainer.train(
+            diffuser,
+            reward_model=PrefGRPORewardModel(version="7b", n_image_per_prompt=4,
+                                             judge=LumaJudge()),
+            optimizer=adamw(lr=1e-1),
+            train_dataloader=_grpo_batches(prompts=2),
+            n_image_per_prompt=4,
+            guidance_scale=1.0,
+            image_resolution=(8, 8),
+            log_validation_images=False,
+            seed=0,
+        )
+        rows = [json.loads(l) for l in
+                (tmp_path / name / "metrics.jsonl").read_text().splitlines()]
+        return rows, trainer
+
+    guarded, trainer = run("grpo_tr_on", trust_region=0.3)
+    # per-epoch means of the logged diagnostics
+    rejects = [r["train/tr_reject"] for r in guarded if "train/tr_reject" in r]
+    grads = [r["train/grad_norm"] for r in guarded if "train/grad_norm" in r]
+    devs = [r["train/ratio_dev"] for r in guarded if "train/ratio_dev" in r]
+    assert sum(rejects) > 0, "guard never fired at the collapse lr"
+    assert float(trainer._lr_scale) < 1.0, "lr backoff never engaged"
+    # survival: the final epoch is NOT the dead state (ratio back in the
+    # region, gradient alive)
+    assert devs[-1] < 0.3, f"still outside the trust region: {devs}"
+    assert grads[-1] > 1e-6, f"dead (all-clipped) gradient: {grads}"
+
+    # control: same lr with the guard off reproduces the documented collapse
+    unguarded, _ = run("grpo_tr_off", trust_region=None)
+    u_devs = [r["train/ratio_dev"] for r in unguarded if "train/ratio_dev" in r]
+    u_grads = [r["train/grad_norm"] for r in unguarded if "train/grad_norm" in r]
+    assert max(u_devs) > 0.3, "collapse repro lost — revisit the lr"
+    assert u_grads[-1] < 1e-6, "collapse repro lost — gradient should be dead"
