@@ -166,6 +166,12 @@ def main():
         "vs_baseline": round(train_sps / reference_cpu_sps, 1),
         "extras": {
             "baseline_note": "reference torch-CPU DiT-B/2 0.430 samples/s (no TPU backend exists for the reference); same-CPU XLA runs 0.159",
+            # self-describing precision bookkeeping (ADVICE r4): r01-r02 ran
+            # the whole-model bf16 cast, r03 added the fp32 conditioning path
+            # (stable_conditioning, ~6.5% step cost), r04+ reverted to the
+            # full cast after the quality arm cleared it — diff bench trends
+            # against rounds with the same policy string
+            "precision_policy": "full_bf16_cast",
             "timing": f"interleaved min of {N_ROUNDS} rounds (train bursts of {TRAIN_BURST} chained steps)",
             "train_step_ms": round(mins["train"] * 1e3, 2),
             "train_batch": BATCH,

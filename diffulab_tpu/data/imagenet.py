@@ -34,6 +34,18 @@ def _to_float_image(image: np.ndarray) -> np.ndarray:
     return image.astype(np.float32)
 
 
+def _per_sample(value):
+    """Latent scale/bias as a per-SAMPLE broadcastable array: towers hand
+    back per-channel stats shaped [1, 1, 1, C] (batch layout); squeezing
+    keeps them broadcasting against the [H, W, C] latents a dataset item
+    holds (a leading batch-1 dim would survive collation as [B, 1, H, W, C])."""
+    import numpy as np
+
+    if value is None or np.isscalar(value):
+        return value
+    return np.squeeze(np.asarray(value, np.float32))
+
+
 class ImageNetLatentREPA:
     """Class-conditional latents + REPA features (reference imagenet.py:18-86)."""
 
@@ -44,7 +56,7 @@ class ImageNetLatentREPA:
         self.latent_scale: float | None = None
 
     def set_latent_scale(self, scale: float) -> None:
-        self.latent_scale = scale
+        self.latent_scale = _per_sample(scale)
 
     def __len__(self) -> int:
         return len(self.dataset)
@@ -102,10 +114,10 @@ class ImageNetmultiAR:
                 pickle.dump(self.buckets, f)
 
     def set_latent_scale(self, scale: float) -> None:
-        self.latent_scale = scale
+        self.latent_scale = _per_sample(scale)
 
     def set_latent_bias(self, bias: float) -> None:
-        self.latent_bias = bias
+        self.latent_bias = _per_sample(bias)
 
     def __len__(self) -> int:
         return sum(len(v) for v in self.buckets.values())

@@ -46,6 +46,7 @@ class Flux2VAE(VisionTower):
         latent_channels: int = 16,
         batch_norm_eps: float = 1e-4,
         weights_path: str | Path | None = None,
+        flax_ckpt: str | Path | None = None,
         bn_running_mean: np.ndarray | None = None,
         bn_running_var: np.ndarray | None = None,
         *,
@@ -72,6 +73,28 @@ class Flux2VAE(VisionTower):
             if "bn.running_mean" in sd:
                 bn_running_mean = sd["bn.running_mean"]
                 bn_running_var = sd["bn.running_var"]
+        if flax_ckpt is not None:
+            # a tower trained in-framework (scripts/build_hard_txt2img.py):
+            # orbax dir holding the encoder/decoder nnx states + the measured
+            # per-channel latent stats of the training distribution
+            from diffulab_tpu.training.checkpoint import restore_checkpoint
+
+            restored = restore_checkpoint(
+                flax_ckpt,
+                {
+                    "encoder": nnx.state(self.encoder),
+                    "decoder": nnx.state(self.decoder),
+                    "latent_scale": np.zeros((1, 1, 1, packed), np.float32),
+                    "latent_bias": np.zeros((1, 1, 1, packed), np.float32),
+                },
+            )
+            nnx.update(self.encoder, restored["encoder"])
+            nnx.update(self.decoder, restored["decoder"])
+            super().__init__(
+                latent_scale=jnp.asarray(restored["latent_scale"], jnp.float32),
+                latent_bias=jnp.asarray(restored["latent_bias"], jnp.float32),
+            )
+            return
         if bn_running_mean is not None:
             scale = 1.0 / np.sqrt(np.asarray(bn_running_var) + batch_norm_eps)
             # NHWC: per-channel stats broadcast over [B, H', W', C]

@@ -219,3 +219,42 @@ def evaluate_fid(
     real_feats = extract_features(real_images[:n], feature_fn, batch_size)
     fake_feats = extract_features(fake, feature_fn, batch_size)
     return compute_fid(real_feats, fake_feats)
+
+
+# Bump when frozen_vit_features changes in ANY way (architecture, seed,
+# pooling, preprocessing): it keys real-feature caches, and numbers from
+# different feature spaces must never be mixed.
+FEATURE_SPACE_VERSION = "vit_s4_seed1234_meanpool_v1"
+
+
+def frozen_vit_features(image_size: int, feature_seed: int = 1234) -> FeatureFn:
+    """Mean-pooled patch features from a frozen, fixed-seed ViT-S/4.
+
+    Random-init features are a valid (weaker) Frechet feature space: the
+    distance is still zero iff the pooled-feature distributions match, and
+    the fixed seed makes the number reproducible across runs/machines.
+    (Canonical home of the evaluate_fid.py feature space, shared with
+    evaluate_txt2img.py — one definition, one version string.)
+    """
+    from flax import nnx
+
+    from diffulab_tpu.networks.repa.vit import ViTEncoder
+
+    enc = ViTEncoder(
+        img_size=image_size, patch_size=4, embed_dim=384, depth=6, num_heads=6,
+        num_register_tokens=0, layerscale=False, rngs=nnx.Rngs(feature_seed),
+    )
+    graphdef, state = nnx.split(enc)
+
+    @jax.jit
+    def run(state, x):
+        m = nnx.merge(graphdef, state)
+        return m(x)["patch_tokens"].mean(axis=1)
+
+    def fn(batch: np.ndarray) -> np.ndarray:
+        x = jnp.asarray(batch, jnp.float32)  # [-1, 1] NHWC
+        if x.shape[-1] == 1:  # grayscale datasets (MNIST): tile to RGB
+            x = jnp.tile(x, (1, 1, 1, 3))
+        return np.asarray(run(state, x))
+
+    return fn
