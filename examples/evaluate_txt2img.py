@@ -170,10 +170,10 @@ def main() -> None:
             '{"metric": "txt2img", "fid": %.3f, "kid_x1000": %.3f, '
             '"precision": %.3f, "recall": %.3f, "acc_color": %.3f, '
             '"acc_count": %.3f, "acc_size": %.3f, "acc_background": %.3f, '
-            '"acc_all": %.3f, "ckpt": "%s"}'
+            '"acc_shape": %.3f, "acc_all": %.3f, "ckpt": "%s"}'
             % (fid, kid["kid"] * 1e3, pr["precision"], pr["recall"],
                acc["color"], acc["count"], acc["size"], acc["background"],
-               acc["all"], ckpt)
+               acc["shape"], acc["all"], ckpt)
         )
 
 

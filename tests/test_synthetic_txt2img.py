@@ -32,11 +32,13 @@ def test_judge_reads_clean_renders():
     imgs = ds.images.astype(np.float32) / 127.5 - 1.0
     acc = caption_consistency(imgs, ds.captions)
     # the judge must read its own renderer's attributes almost perfectly —
-    # it is the metric ceiling for generated samples
+    # it is the metric ceiling for generated samples (size/shape are the
+    # soft attributes: ~0.92 each on clean renders)
     assert acc["color"] > 0.95, acc
     assert acc["background"] > 0.95, acc
     assert acc["count"] > 0.9, acc
-    assert acc["all"] > 0.85, acc
+    assert acc["shape"] > 0.8, acc
+    assert acc["all"] > 0.65, acc
 
 
 def test_judge_rejects_noise():
@@ -57,6 +59,22 @@ def test_judge_attribute_sensitivity():
     got = judge_image(img)
     assert got["color"] == "red" and got["count"] == 2
     assert got["background"] == "dark" and got["size"] == "large"
+    assert got["shape"] == "disk"
+
+
+def test_shape_classifier_per_shape():
+    """Every shape must be recognized well above the 20% chance floor."""
+    from collections import Counter
+
+    rng = np.random.default_rng(11)
+    for shape in SHAPES:
+        votes = Counter()
+        for i in range(20):
+            spec = {"count": 1, "size": "large" if i % 2 else "small",
+                    "color": "blue", "shape": shape, "background": "dark"}
+            img = render_scene(rng, spec, 64).astype(np.float32) / 127.5 - 1.0
+            votes[judge_image(img)["shape"]] += 1
+        assert votes[shape] >= 14, (shape, votes)
 
 
 def test_dataset_and_embeddings():
