@@ -420,19 +420,22 @@ class BaseTrainer(Trainer):
         mi = batch.get("model_inputs", {})
         texts = mi.get("initial_context")
         embedder = getattr(diffuser.denoiser, "context_embedder", None)
-        if texts is not None and "context" not in mi:
-            if hasattr(embedder, "embed_host"):
-                out = embedder.embed_host(list(texts))
-            elif hasattr(embedder, "tokenize"):
-                # in-graph trainable embedder: strings -> token-id arrays
-                # host-side; the encoder itself runs (and trains) under jit
-                out = embedder.tokenize(list(texts))
-            else:
-                return batch
-            mi = dict(mi)
-            mi["context"] = dict(out)
-            batch = {**batch, "model_inputs": mi}
-        return batch
+        if texts is None:
+            return batch
+        if hasattr(embedder, "tokenize"):
+            # In-graph trainable embedder: strings -> token-id arrays
+            # host-side; the encoder itself runs (and trains) under jit.
+            # Takes precedence over any precomputed 'context' the shards
+            # carry — otherwise embedder=trainable would silently train on
+            # the frozen precomputed embeddings instead of its own.
+            out = embedder.tokenize(list(texts))
+        elif hasattr(embedder, "embed_host") and "context" not in mi:
+            out = embedder.embed_host(list(texts))
+        else:
+            return batch
+        mi = dict(mi)
+        mi["context"] = dict(out)
+        return {**batch, "model_inputs": mi}
 
     def _prepare_batch(self, batch: dict[str, Any]) -> dict[str, Any]:
         """Shard array leaves onto the mesh; drop host-only leaves (caption

@@ -93,8 +93,9 @@ def profile(tag: str, full_cast: bool):
     for c, v in sorted(by_cat.items(), key=lambda kv: -kv[1]):
         print(f"  {c:<28} {v*scale:8.3f}")
     print(f"[{tag}] top copy/reshape-family ops (ms/step):")
-    fam = [(op, v) for op, v in by_op.items()
-           if any(op.startswith(p) or f".{p}" in op for p in COPYISH)]
+    # op names come back as full HLO text ("%copy-start.123 = ..."), so a
+    # plain substring match is the right filter (startswith misses the '%')
+    fam = [(op, v) for op, v in by_op.items() if any(p in op for p in COPYISH)]
     for op, v in sorted(fam, key=lambda kv: -kv[1])[:20]:
         print(f"  {op:<60} {v*scale:8.3f}")
     print(f"[{tag}] top 15 ops overall (ms/step):")

@@ -123,3 +123,41 @@ def test_frozen_embedder_stays_frozen(tmp_path):
     before, after = _run(tmp_path, "emb_off", train_embedder=False)
     for b, a in zip(before, after):
         np.testing.assert_array_equal(b, a)
+
+
+def test_tokenizer_overrides_precomputed_context():
+    """Latent txt2img shards carry precomputed 'context' embeddings alongside
+    the raw caption strings. With embedder=trainable the tokenizer path must
+    take precedence — otherwise train_embedder=true silently trains on the
+    frozen precomputed embeddings and the encoder never sees a token."""
+    emb = _embedder()
+    model = MMDiT(
+        simple_dit=False, input_channels=3, inner_dim=32, embedding_dim=32,
+        num_heads=2, mlp_ratio=2, patch_size=2, depth=2, classifier_free=True,
+        context_embedder=emb, rngs=nnx.Rngs(0),
+    )
+    diffuser = Diffuser(model, sampling_method="euler",
+                        model_type="rectified_flow", n_steps=4)
+    batch = {
+        "model_inputs": {
+            "x": np.zeros((2, 8, 8, 3), np.float32),
+            "initial_context": ["a red square", "a blue circle"],
+            "context": {"embeddings": np.ones((2, 4, 32), np.float32)},
+        }
+    }
+    out = BaseTrainer._host_embed(batch, diffuser)
+    ctx = out["model_inputs"]["context"]
+    assert "token_ids" in ctx, "tokenizer path shadowed by precomputed context"
+    np.testing.assert_array_equal(
+        ctx["token_ids"], byte_tokenize(["a red square", "a blue circle"], 16)["token_ids"]
+    )
+    # host-side HF embedders keep the old behavior: precomputed wins
+    class _HostOnly:
+        def embed_host(self, texts):  # pragma: no cover - must not be called
+            raise AssertionError("embed_host called despite precomputed context")
+
+    diffuser.denoiser.context_embedder = _HostOnly()
+    out2 = BaseTrainer._host_embed(batch, diffuser)
+    np.testing.assert_array_equal(
+        out2["model_inputs"]["context"]["embeddings"], np.ones((2, 4, 32), np.float32)
+    )
