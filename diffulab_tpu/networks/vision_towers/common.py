@@ -20,12 +20,23 @@ from diffulab_tpu.data.streaming import ShardedDataset, ShardedDatasetWriter
 
 
 def normalize_to_pm1(x: jax.Array) -> jax.Array:
-    """0-1/0-255 range detection then scale to [-1, 1]
-    (reference dc_ae.py:48-59 / flux2.py:52-63)."""
+    """Range detection then scale to [-1, 1]
+    (reference dc_ae.py:48-59 / flux2.py:52-63).
+
+    Handles three input conventions: 0-255 (divided down first), 0-1
+    (affinely mapped to [-1, 1]), and already-[-1, 1] (passed through —
+    detected by any negative mass; rescaling such an input would crush
+    its negative half, which is exactly the bug the round-5 hard-txt2img
+    tower gate caught: mse 0.126 / judge 8% on perfect reconstructions).
+    """
     x = x.astype(jnp.float32)
     x = jnp.where(jnp.max(jnp.abs(x)) > 1.5, x / 255.0, x)
-    x = jnp.clip(x, 0.0, 1.0)
-    return (x - 0.5) * 2.0
+    already_pm1 = jnp.min(x) < -1e-3
+    return jnp.where(
+        already_pm1,
+        jnp.clip(x, -1.0, 1.0),
+        (jnp.clip(x, 0.0, 1.0) - 0.5) * 2.0,
+    )
 
 
 class VisionTower(nnx.Module):

@@ -242,3 +242,35 @@ def test_sampler_epoch_replay_and_sideeffect_free_len(tmp_path):
     assert n > 0 and s._epoch == before
     dl.set_epoch(7)
     assert s._epoch == 7
+
+
+def test_normalize_to_pm1_all_three_ranges():
+    """[-1,1] inputs must pass through unchanged — the round-5 regression
+    (negatives clipped to 0 then remapped) corrupted every tower.encode
+    call fed by the [-1,1] data pipelines."""
+    from diffulab_tpu.networks.vision_towers.common import normalize_to_pm1
+
+    pm1 = jnp.linspace(-1.0, 1.0, 64).reshape(1, 4, 4, 4)
+    np.testing.assert_allclose(np.asarray(normalize_to_pm1(pm1)), np.asarray(pm1), atol=1e-6)
+
+    zero_one = jnp.linspace(0.0, 1.0, 64).reshape(1, 4, 4, 4)
+    np.testing.assert_allclose(
+        np.asarray(normalize_to_pm1(zero_one)), np.asarray((zero_one - 0.5) * 2.0), atol=1e-6
+    )
+
+    u8 = jnp.linspace(0.0, 255.0, 64).reshape(1, 4, 4, 4)
+    np.testing.assert_allclose(
+        np.asarray(normalize_to_pm1(u8)), np.asarray((u8 / 255.0 - 0.5) * 2.0), atol=1e-6
+    )
+
+    # encode(x_pm1) must now agree with the raw encoder path used in training
+    vae = _tiny_flux2()
+    x = jax.random.uniform(jax.random.key(2), (2, 16, 16, 3)) * 2.0 - 1.0
+    z_wrap = vae.encode(x)
+    moments = vae.encoder(x)
+    mean, _ = jnp.split(moments, 2, axis=-1)
+    b, h, w, c = mean.shape
+    z_raw = jnp.einsum(
+        "bhpwqc->bhwcpq", mean.reshape(b, h // 2, 2, w // 2, 2, c)
+    ).reshape(b, h // 2, w // 2, c * 4)
+    np.testing.assert_allclose(np.asarray(z_wrap), np.asarray(z_raw), atol=1e-5)
