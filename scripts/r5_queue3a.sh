@@ -11,8 +11,8 @@ cd /root/repo
 CPU=(env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu)
 RUN=runs/r5/synthetic_hard_flow
 
-if [ -f /tmp/r5_queue2.pid ]; then
-  while kill -0 "$(cat /tmp/r5_queue2.pid)" 2>/dev/null; do sleep 20; done
+if [ -f /tmp/r5_queue2b.pid ]; then
+  while kill -0 "$(cat /tmp/r5_queue2b.pid)" 2>/dev/null; do sleep 20; done
 fi
 
 {
