@@ -32,7 +32,7 @@ def fid_rows(path: Path) -> list[tuple[str, float]]:
         return []
     out = []
     for line in path.read_text().splitlines():
-        m = re.match(r"FID\(val, samples\)\s*=\s*([\d.]+)\s*\[(.*)\]", line)
+        m = re.match(r"FID\(val, (?:model )?samples\)\s*=\s*([\d.]+)\s*\[(.*)\]", line)
         if m:
             out.append((m.group(2), float(m.group(1))))
     return out

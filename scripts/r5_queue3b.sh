@@ -23,10 +23,10 @@ if [ -f /tmp/r5_queue3a.pid ]; then
 fi
 
 # ---- gate: does guidance bind on the hard control? --------------------------
-g0=$(grep -h "FID(val" /tmp/r5_hard_cfg_g0.0.log | awk '{print $4}')
+g0=$(grep -h "FID(val, model samples)" /tmp/r5_hard_cfg_g0.0.log | awk '{print $5}')
 best_g="" ; best_fid=""
 for g in 1.0 1.5 2.0 3.0; do
-  f=$(grep -h "FID(val" "/tmp/r5_hard_cfg_g$g.log" | awk '{print $4}')
+  f=$(grep -h "FID(val, model samples)" "/tmp/r5_hard_cfg_g$g.log" | awk '{print $5}')
   [ -z "$f" ] && continue
   if [ -z "$best_fid" ] || python -c "exit(0 if $f < $best_fid else 1)"; then
     best_fid="$f"; best_g="$g"
