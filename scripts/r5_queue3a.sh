@@ -11,8 +11,8 @@ cd /root/repo
 CPU=(env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu)
 RUN=runs/r5/synthetic_hard_flow
 
-if [ -f /tmp/r5_queue2b.pid ]; then
-  while kill -0 "$(cat /tmp/r5_queue2b.pid)" 2>/dev/null; do sleep 20; done
+if [ -f /tmp/r5_queue2c.pid ]; then
+  while kill -0 "$(cat /tmp/r5_queue2c.pid)" 2>/dev/null; do sleep 20; done
 fi
 
 {
@@ -29,13 +29,13 @@ mv "$RUN/checkpoints/phema_sr0.05" "$RUN/checkpoints/phema_sr0.05_ep4"
 for g in 0.0 1.0 1.5 2.0 3.0; do
   python examples/evaluate_fid.py --config-name train_synthetic_hard_flow \
     --ckpt "$RUN/checkpoints/phema_sr0.05" \
-    --n-samples 2000 --batch-size 200 --guidance "$g" \
+    --n-samples 1000 --batch-size 200 --guidance "$g" \
     > "/tmp/r5_hard_cfg_g$g.log" 2>&1
 done
 # live + sr0.1 at the canonical 1.5 for the (ema, live, phema) triple
 python examples/evaluate_fid.py --config-name train_synthetic_hard_flow \
   --ckpt "$RUN/checkpoints/denoiser" "$RUN/checkpoints/ema" "$RUN/checkpoints/phema_sr0.1" \
-  --n-samples 2000 --batch-size 200 --guidance 1.5 \
+  --n-samples 1000 --batch-size 200 --guidance 1.5 \
   > /tmp/r5_hard_cfg_triple.log 2>&1
 
 echo "QUEUE3A DONE"

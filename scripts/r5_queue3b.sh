@@ -15,7 +15,7 @@ cd /root/repo
 
 CPU=(env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu)
 RUN=runs/r5/synthetic_hard_flow
-HARD=(--config-name train_synthetic_hard_flow --n-samples 2000 --batch-size 200)
+HARD=(--config-name train_synthetic_hard_flow --n-samples 1000 --batch-size 200)
 CK="$RUN/checkpoints/phema_sr0.05"
 
 if [ -f /tmp/r5_queue3a.pid ]; then
@@ -59,9 +59,6 @@ python examples/evaluate_fid.py "${HARD[@]}" --ckpt "$CK" --guidance 3.0 \
 python examples/evaluate_fid.py "${HARD[@]}" --ckpt "$CK" --guidance 1.5 \
   --guide-ckpt "$RUN/checkpoints/phema_sr0.05_ep4" \
   > /tmp/r5_hard_autoguide_g1.5.log 2>&1
-python examples/evaluate_fid.py "${HARD[@]}" --ckpt "$CK" --guidance 2.0 \
-  --guide-ckpt "$RUN/checkpoints/phema_sr0.05_ep4" \
-  > /tmp/r5_hard_autoguide_g2.log 2>&1
 
 # ---- 4. guidance distillation at the best binding scale ----------------------
 {
