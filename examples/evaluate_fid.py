@@ -59,7 +59,15 @@ def main() -> None:
     parser.add_argument("--n-samples", type=int, default=2000)
     parser.add_argument("--batch-size", type=int, default=128)
     parser.add_argument("--steps", type=int, default=None, help="override sampling steps")
-    parser.add_argument("--guidance", type=float, default=0.0)
+    parser.add_argument("--guidance", default=[0.0],
+                        type=lambda s: [float(g) for g in s.split(",")],
+                        help="CFG scale, or several comma-separated scales "
+                             "(e.g. 0.0,1.5,3.0) — scales share the process, "
+                             "the checkpoint restores, the real-feature cache, "
+                             "and (for scales > 0) one sampler compile, so a "
+                             "sweep costs one startup instead of five; comma "
+                             "form (not nargs) so trailing config overrides "
+                             "still parse as positionals")
     parser.add_argument("--guide-ckpt", default=None,
                         help="autoguidance (arXiv:2406.02507): checkpoint of a DEGRADED "
                              "sibling (early epoch / long-horizon EMA) that replaces the "
@@ -131,7 +139,7 @@ def main() -> None:
 
     guide_denoiser = None
     if args.guide_ckpt:
-        assert args.guidance > 0, "--guide-ckpt requires --guidance > 0"
+        assert min(args.guidance) > 0, "--guide-ckpt requires --guidance > 0"
         guide_denoiser = instantiate(cfg["model"], rngs=nnx.Rngs(args.seed))
         # replicates the LoRA wrap order for adapter-layout guide checkpoints
         restore_sampling_model(args.guide_ckpt, guide_denoiser,
@@ -184,42 +192,44 @@ def main() -> None:
     for ckpt in args.ckpt:
         restore_train_modules(ckpt, modules, lora=bool(lora_rank))
         print(f"restored checkpoint from {ckpt}")
-        fakes = []
-        key = jax.random.key(args.seed)
-        t0 = time.perf_counter()
-        for start in range(0, n, args.batch_size):
-            bsz = min(args.batch_size, n - start)
-            cond = {"y": jnp.asarray(labels[start : start + bsz])}
-            out = diffuser.generate(
-                jax.random.fold_in(key, start), cond,
-                data_shape=(bsz, *real_val.shape[1:]),
-                guidance_scale=args.guidance, clamp_x=True,
-                guide_denoiser=guide_denoiser,
-            )
-            fakes.append(np.asarray(out["x"], np.float32))
-        fake = np.concatenate(fakes)[:n]
-        dt = time.perf_counter() - t0
-        print(f"sampled {n} images in {dt:.1f}s ({n / dt:.2f} imgs/s)")
+        for guidance in args.guidance:
+            fakes = []
+            key = jax.random.key(args.seed)
+            t0 = time.perf_counter()
+            for start in range(0, n, args.batch_size):
+                bsz = min(args.batch_size, n - start)
+                cond = {"y": jnp.asarray(labels[start : start + bsz])}
+                out = diffuser.generate(
+                    jax.random.fold_in(key, start), cond,
+                    data_shape=(bsz, *real_val.shape[1:]),
+                    guidance_scale=guidance, clamp_x=True,
+                    guide_denoiser=guide_denoiser,
+                )
+                fakes.append(np.asarray(out["x"], np.float32))
+            fake = np.concatenate(fakes)[:n]
+            dt = time.perf_counter() - t0
+            print(f"sampled {n} images in {dt:.1f}s ({n / dt:.2f} imgs/s)")
 
-        fake_feats = extract_features(fake, feature_fn, args.batch_size)
-        ref_feats = val_feats[:n] if n < len(val_feats) else val_feats
-        fid = compute_fid(ref_feats, fake_feats)
-        pr = compute_precision_recall(ref_feats, fake_feats)
-        kid = compute_kid(ref_feats, fake_feats, seed=args.seed)
-        print(f"FID(val, model samples)   = {fid:.3f}  [{ckpt}]")
-        print(
-            "precision/recall (k=3)    = %.3f / %.3f   density/coverage = %.3f / %.3f"
-            % (pr["precision"], pr["recall"], pr["density"], pr["coverage"])
-        )
-        print("KID x 1000                = %.3f +- %.3f (unbiased)"
-              % (kid["kid"] * 1e3, kid["kid_std"] * 1e3))
-        print(
-            '{"metric": "fid_synthetic", "value": %.3f, "floor": %.3f, "ceiling": %.3f, '
-            '"precision": %.3f, "recall": %.3f, "density": %.3f, "coverage": %.3f, '
-            '"kid_x1000": %.3f, "ckpt": "%s"}'
-            % (fid, fid_floor, fid_ceiling, pr["precision"], pr["recall"],
-               pr["density"], pr["coverage"], kid["kid"] * 1e3, ckpt)
-        )
+            fake_feats = extract_features(fake, feature_fn, args.batch_size)
+            ref_feats = val_feats[:n] if n < len(val_feats) else val_feats
+            fid = compute_fid(ref_feats, fake_feats)
+            pr = compute_precision_recall(ref_feats, fake_feats)
+            kid = compute_kid(ref_feats, fake_feats, seed=args.seed)
+            tag = f"  [g={guidance:g}]" if len(args.guidance) > 1 else ""
+            print(f"FID(val, model samples)   = {fid:.3f}  [{ckpt}]{tag}")
+            print(
+                "precision/recall (k=3)    = %.3f / %.3f   density/coverage = %.3f / %.3f"
+                % (pr["precision"], pr["recall"], pr["density"], pr["coverage"])
+            )
+            print("KID x 1000                = %.3f +- %.3f (unbiased)"
+                  % (kid["kid"] * 1e3, kid["kid_std"] * 1e3))
+            print(
+                '{"metric": "fid_synthetic", "value": %.3f, "floor": %.3f, "ceiling": %.3f, '
+                '"precision": %.3f, "recall": %.3f, "density": %.3f, "coverage": %.3f, '
+                '"kid_x1000": %.3f, "guidance": %.3f, "ckpt": "%s"}'
+                % (fid, fid_floor, fid_ceiling, pr["precision"], pr["recall"],
+                   pr["density"], pr["coverage"], kid["kid"] * 1e3, guidance, ckpt)
+            )
 
 
 if __name__ == "__main__":

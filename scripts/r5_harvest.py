@@ -60,7 +60,16 @@ def main() -> None:
         print()
 
     # ---- guidance sweep -----------------------------------------------------
+    # one-process sweep log first (evaluate_fid --guidance takes several
+    # scales since round 5); falls back to the per-scale logs of the old plan
     sweep = []
+    sweep_log = TMP / "r5_hard_cfg_sweep.log"
+    if sweep_log.exists():
+        for line in sweep_log.read_text().splitlines():
+            if line.startswith('{"metric": "fid_synthetic"'):
+                r = json.loads(line)
+                sweep.append((f"{r.get('guidance', 0.0):g}", short(r["ckpt"]),
+                              r["value"]))
     for g in ("0.0", "1.0", "1.5", "2.0", "3.0"):
         for ckpt, fid in fid_rows(TMP / f"r5_hard_cfg_g{g}.log"):
             sweep.append((g, short(ckpt), fid))
