@@ -201,7 +201,12 @@ class Diffuser:
 
             out = diffusion.denoise(
                 model_fn, cond, rng,
-                data_shape=data_shape, x=x, clamp_x=clamp_x,
+                # clamp_x means PIXEL range [-1, 1]: in latent mode the
+                # reverse process integrates over tower-normalized latents
+                # (unit std per channel — clipping those at +-1 would cut
+                # ~1/3 of the Gaussian mass and scramble the decode), so the
+                # clamp moves to the decoded image below
+                data_shape=data_shape, x=x, clamp_x=clamp_x and not decode,
                 guidance_scale=guidance_scale, use_cfg=use_cfg,
                 return_intermediates=return_intermediates, dtype=dtype,
                 inpaint=inpaint,
@@ -213,6 +218,8 @@ class Diffuser:
             if decode:
                 tower = nnx.merge(tower_graphdef, tower_state)
                 out["x"] = tower.decode(out["x"] / latent_scale + latent_bias)
+                if clamp_x:
+                    out["x"] = jnp.clip(out["x"], -1.0, 1.0)
             return out
 
         return jax.jit(sample, static_argnums=(0, 1))

@@ -79,6 +79,7 @@ def main() -> None:
             precision_type=trainer_cfg.get("precision_type", "no"),
             project_name=trainer_cfg.get("project_name", "diffulab"),
             save_path=trainer_cfg.get("save_path"),
+            save_optimizer=trainer_cfg.get("save_optimizer", True),
             use_ema=trainer_cfg.get("use_ema", False),
             ema_rate=trainer_cfg.get("ema_rate", 0.999),
             ema_update_after_step=trainer_cfg.get("ema_update_after_step", 0),

@@ -33,6 +33,31 @@ def test_generate_decodes_through_tower():
     assert np.isfinite(np.asarray(out["x"])).all()
 
 
+def test_clamp_applies_to_pixels_not_latents():
+    """Round-5 regression: clamp_x means the PIXEL range [-1, 1]. The reverse
+    process integrates over tower-normalized latents (unit std per channel),
+    so clipping those at +-1 cuts ~1/3 of the Gaussian mass per channel and
+    scrambles the decode — measured on the hard-txt2img benchmark: clipping
+    ground-truth latents alone drove the caption judge from 0.72 to 0.07 and
+    recon mse up 25x. In latent mode the clamp must land after the decode."""
+    diffuser = _latent_diffuser()
+    cond = {"y": jnp.array([1, 2])}
+    z = np.asarray(diffuser.generate(
+        jax.random.key(0), cond=cond, data_shape=(2, 4, 4, 16),
+        return_latents=True,
+    )["x"])
+    # the test only bites if the sampled latents actually leave [-1, 1]
+    assert np.abs(z).max() > 1.0
+    px = np.asarray(diffuser.generate(
+        jax.random.key(0), cond=cond, data_shape=(2, 4, 4, 16), clamp_x=True,
+    )["x"])
+    tower = diffuser.vision_tower
+    expected = np.clip(np.asarray(tower.decode(
+        jnp.asarray(z) / tower.latent_scale + tower.latent_bias
+    )), -1.0, 1.0)
+    np.testing.assert_allclose(px, expected, atol=1e-5)
+
+
 def test_generate_return_latents():
     diffuser = _latent_diffuser()
     out = diffuser.generate(
