@@ -19,8 +19,17 @@ def txt2img_rows(name: str) -> list[dict]:
     p = TMP / f"r5_arm_{name}.log"
     if not p.exists():
         return []
+    lines = p.read_text().splitlines()
+    # the mmdit arm was re-evaluated after the clamp_x fix (4006201); only
+    # rows after the last re-eval marker are valid — earlier rows scored
+    # latent-clipped samples
+    marker = "re-eval with clamp fix"
+    for i in range(len(lines) - 1, -1, -1):
+        if marker in lines[i]:
+            lines = lines[i:]
+            break
     rows = []
-    for line in p.read_text().splitlines():
+    for line in lines:
         if line.startswith('{"metric": "txt2img"'):
             rows.append(json.loads(line))
     return rows
