@@ -22,11 +22,14 @@ before () { [ "$(date -u +%H%M)" -lt "$1" ] || [ "$(date -u +%H%M)" -gt 2000 ]; 
 
 wait_chip () {
   local tries=0
-  until timeout 600 python /tmp/probe_chip.py >> /tmp/r5_probe.log 2>&1; do
+  # short probe + long idle: the relay seems to need CLIENT-FREE time to
+  # release after an exit — a long-held hanging probe starves it (observed
+  # 00:05-00:30: 600 s probes kept it wedged past both prior drain times)
+  until timeout 150 python /tmp/probe_chip.py >> /tmp/r5_probe.log 2>&1; do
     tries=$((tries + 1))
     stamp "chip wedged (probe $tries failed)"
-    if [ "$tries" -ge 6 ]; then stamp "chip GIVEN UP after $tries probes"; return 1; fi
-    sleep 60
+    if [ "$tries" -ge 10 ]; then stamp "chip GIVEN UP after $tries probes"; return 1; fi
+    sleep 240
   done
   return 0
 }
