@@ -12,9 +12,9 @@ they never touch the relay.
 Stage list (value order, clock guards in UTC HHMM):
   1. mmdit re-eval   (clamp-fix rows; the first eval scored clipped latents)
   2. sprint eval
-  3. control train   (6-epoch guidance-binding control)
+  3. control train   (4-epoch guidance-binding control — trimmed to the round clock; underfit-at-budget makes guidance MORE likely to bind, which is the gate's point)
   4. control recons  (CPU subprocess: epoch-2 sibling + full horizon)
-  5. CFG sweep       (one evaluate_fid process-equivalent, 5 scales)
+  5. CFG sweep       (0 / 1.5 / 3.0 in one process)
   6. ddt train+eval  (only before GUARD_DDT)
   7. autoguidance    (only before GUARD_AUTOG)
 """
@@ -107,7 +107,7 @@ def main() -> None:
     subprocess.run(["rm", "-rf", run], check=False)
     run_stage("control train", [
         "examples/train_diffusion.py", "--config-name", "train_synthetic_hard_flow",
-        "trainer.save_path=runs/r5", "trainer.n_epoch=6",
+        "trainer.save_path=runs/r5", "trainer.n_epoch=4",
     ], "/tmp/r5_hard_control_train.log")
     cpu_recon(run, "--sigma-rel", "0.05", "--t-out", "156")
     Path(f"{run}/checkpoints/phema_sr0.05").rename(f"{run}/checkpoints/phema_sr0.05_ep2")
@@ -117,7 +117,7 @@ def main() -> None:
         "examples/evaluate_fid.py", "--config-name", "train_synthetic_hard_flow",
         "--ckpt", f"{run}/checkpoints/phema_sr0.05",
         "--n-samples", "1000", "--batch-size", "200",
-        "--guidance", "0.0,1.0,1.5,2.0,3.0",
+        "--guidance", "0.0,1.5,3.0",
     ], "/tmp/r5_hard_cfg_sweep.log")
 
     # ---- 6. ddt (clock-guarded) --------------------------------------------
