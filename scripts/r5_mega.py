@@ -104,6 +104,10 @@ def main() -> None:
 
     # ---- 3-5. guidance-binding control + sweep ------------------------------
     run = "runs/r5/synthetic_hard_flow"
+    if not before(os.environ.get("GUARD_CONTROL", "0155")):
+        stamp("control+sweep SKIPPED (clock)")
+        stamp("MEGA DONE")
+        return
     subprocess.run(["rm", "-rf", run], check=False)
     run_stage("control train", [
         "examples/train_diffusion.py", "--config-name", "train_synthetic_hard_flow",
@@ -113,6 +117,10 @@ def main() -> None:
     Path(f"{run}/checkpoints/phema_sr0.05").rename(f"{run}/checkpoints/phema_sr0.05_ep2")
     cpu_recon(run, "--sigma-rel", "0.05")
     stamp("control recons done")
+    if not before(os.environ.get("GUARD_SWEEP", "0212")):
+        stamp("sweep SKIPPED (clock)")
+        stamp("MEGA DONE")
+        return
     run_stage("cfg sweep", [
         "examples/evaluate_fid.py", "--config-name", "train_synthetic_hard_flow",
         "--ckpt", f"{run}/checkpoints/phema_sr0.05",
