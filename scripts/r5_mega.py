@@ -87,7 +87,6 @@ def main() -> None:
     eval_argv = lambda cfg, name: [
         "examples/evaluate_txt2img.py", "--config-name", cfg,
         "--ckpt", f"runs/r5/{name}/checkpoints/ema",
-        f"runs/r5/{name}/checkpoints/denoiser",
         f"runs/r5/{name}/checkpoints/phema_sr0.05",
         "--n-samples", "1000", "--batch-size", "100", "--guidance", "1.5",
     ]
@@ -104,27 +103,27 @@ def main() -> None:
 
     # ---- 3-5. guidance-binding control + sweep ------------------------------
     run = "runs/r5/synthetic_hard_flow"
-    if not before(os.environ.get("GUARD_CONTROL", "0155")):
+    if not before(os.environ.get("GUARD_CONTROL", "0205")):
         stamp("control+sweep SKIPPED (clock)")
         stamp("MEGA DONE")
         return
     subprocess.run(["rm", "-rf", run], check=False)
     run_stage("control train", [
         "examples/train_diffusion.py", "--config-name", "train_synthetic_hard_flow",
-        "trainer.save_path=runs/r5", "trainer.n_epoch=4",
+        "trainer.save_path=runs/r5", "trainer.n_epoch=3",
     ], "/tmp/r5_hard_control_train.log")
     cpu_recon(run, "--sigma-rel", "0.05", "--t-out", "156")
     Path(f"{run}/checkpoints/phema_sr0.05").rename(f"{run}/checkpoints/phema_sr0.05_ep2")
     cpu_recon(run, "--sigma-rel", "0.05")
     stamp("control recons done")
-    if not before(os.environ.get("GUARD_SWEEP", "0212")):
+    if not before(os.environ.get("GUARD_SWEEP", "0220")):
         stamp("sweep SKIPPED (clock)")
         stamp("MEGA DONE")
         return
     run_stage("cfg sweep", [
         "examples/evaluate_fid.py", "--config-name", "train_synthetic_hard_flow",
         "--ckpt", f"{run}/checkpoints/phema_sr0.05",
-        "--n-samples", "1000", "--batch-size", "200",
+        "--n-samples", "600", "--batch-size", "200",
         "--guidance", "0.0,1.5,3.0",
     ], "/tmp/r5_hard_cfg_sweep.log")
 
