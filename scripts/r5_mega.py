@@ -103,7 +103,7 @@ def main() -> None:
 
     # ---- 3-5. guidance-binding control + sweep ------------------------------
     run = "runs/r5/synthetic_hard_flow"
-    if not before(os.environ.get("GUARD_CONTROL", "0205")):
+    if not before(os.environ.get("GUARD_CONTROL", "0213")):
         stamp("control+sweep SKIPPED (clock)")
         stamp("MEGA DONE")
         return
@@ -116,14 +116,14 @@ def main() -> None:
     Path(f"{run}/checkpoints/phema_sr0.05").rename(f"{run}/checkpoints/phema_sr0.05_ep2")
     cpu_recon(run, "--sigma-rel", "0.05")
     stamp("control recons done")
-    if not before(os.environ.get("GUARD_SWEEP", "0220")):
+    if not before(os.environ.get("GUARD_SWEEP", "0226")):
         stamp("sweep SKIPPED (clock)")
         stamp("MEGA DONE")
         return
     run_stage("cfg sweep", [
         "examples/evaluate_fid.py", "--config-name", "train_synthetic_hard_flow",
         "--ckpt", f"{run}/checkpoints/phema_sr0.05",
-        "--n-samples", "600", "--batch-size", "200",
+        "--n-samples", "500", "--batch-size", "200",
         "--guidance", "0.0,1.5,3.0",
     ], "/tmp/r5_hard_cfg_sweep.log")
 
